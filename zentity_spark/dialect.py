@@ -1,0 +1,199 @@
+"""Dual-dialect SQL expression builders (Spark SQL + DuckDB).
+
+Every normalizer / blocking-key / predicate expression used by the engine is
+defined ONCE here as a function ``f(col_sql, dialect) -> sql_string``.  The
+Spark pipeline evaluates them via ``F.expr``/``spark.sql`` (JVM whole-stage
+codegen — no Python in the hot path) and the DuckDB correctness oracles in
+``__spark_entry__.oracle_sql`` embed the *same* rendered expression, so the
+two engines agree by construction.
+
+Reference parity: these play the role of Elasticsearch analyzers + matcher
+clause templates in the reference (``resolution/Job.java::populateMatcherClause``
+≈L150-220, ``common/Patterns.java::VARIABLE`` — SURVEY.md §3 rows 6-12).  Per
+SURVEY.md §8 R3 the concrete normalizer definitions are OURS (fixed in
+FIXTURES.md) since ES analyzers live outside the reference plugin.
+
+Dialect differences handled here:
+  * ``regexp_replace`` needs a ``'g'`` flag in DuckDB (RE2), none in Spark.
+  * RE2 has no backreferences → run-collapsing is an unrolled 7-replace chain.
+  * token split: ``split`` (Spark) vs ``string_split`` (DuckDB).
+  * md5 → int64: ``conv(hex,16,10)`` (Spark) vs ``CAST('0x…' AS BIGINT)``.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+# translate() map: a-z -> soundex-style digit classes
+#   b f p v        -> 1
+#   c g j k q s x z-> 2
+#   d t            -> 3
+#   l              -> 4
+#   m n            -> 5
+#   r              -> 6
+#   a e i o u y h w-> 0
+_PH_FROM = "abcdefghijklmnopqrstuvwxyz"
+_PH_TO = "01230120022455012623010202"
+
+
+def _rr(c: str, pat: str, rep: str, dialect: str) -> str:
+    """regexp_replace with replace-all semantics in both dialects."""
+    if dialect == DUCKDB:
+        return f"regexp_replace({c}, '{pat}', '{rep}', 'g')"
+    return f"regexp_replace({c}, '{pat}', '{rep}')"
+
+
+def norm_name(c: str, dialect: str) -> str:
+    """lowercase, strip non [a-z ], collapse whitespace, trim (FIXTURES.md §3)."""
+    x = f"lower({c})"
+    x = _rr(x, "[^a-z ]", "", dialect)
+    x = _rr(x, " +", " ", dialect)
+    return f"trim({x})"
+
+
+def norm_phone(c: str, dialect: str) -> str:
+    """digits only."""
+    return _rr(c, "[^0-9]", "", dialect)
+
+
+def norm_email(c: str, dialect: str) -> str:
+    return f"lower(trim({c}))"
+
+
+def norm_city(c: str, dialect: str) -> str:
+    x = f"lower({c})"
+    x = _rr(x, "[^a-z ]", "", dialect)
+    x = _rr(x, " +", " ", dialect)
+    return f"trim({x})"
+
+
+def norm_date(c: str, dialect: str) -> str:
+    """canonical yyyy-MM-dd string (zentity date canonical serialization,
+    ``resolution/input/value/DateValue.java`` ≈L20-120)."""
+    if dialect == DUCKDB:
+        return f"strftime(TRY_CAST(trim({c}) AS DATE), '%Y-%m-%d')"
+    return f"date_format(to_date(trim({c}), 'yyyy-MM-dd'), 'yyyy-MM-dd')"
+
+
+def norm_none(c: str, dialect: str) -> str:
+    return f"trim({c})"
+
+
+NORMALIZERS = {
+    "name": norm_name,
+    "phone": norm_phone,
+    "email": norm_email,
+    "city": norm_city,
+    "date": norm_date,
+    "none": norm_none,
+}
+
+
+def epoch_day(c: str, dialect: str) -> str:
+    """days since 1970-01-01 for a yyyy-MM-dd string column."""
+    if dialect == DUCKDB:
+        return f"date_diff('day', DATE '1970-01-01', TRY_CAST({c} AS DATE))"
+    return f"datediff(to_date({c}), to_date('1970-01-01'))"
+
+
+def collapse_runs(c: str, dialect: str) -> str:
+    """collapse adjacent repeated digits; unrolled (RE2: no backreferences)."""
+    x = c
+    for d in "0123456":
+        x = _rr(x, f"{d}+", d, dialect)
+    return x
+
+
+def phonetic_code(c: str, dialect: str) -> str:
+    """OUR phonetic code (soundex-style, fixed per FIXTURES.md §3 / SURVEY §8 R3).
+
+    code(t) = upper(t[0]) || rpad(first 3 nonzero collapsed digit-classes of
+    t[1:], 3, '0').  Input must be a normalized lowercase token.
+    Plays the role of the ES phonetic analyzer subfield in the reference
+    (SURVEY.md §3 row 10).
+    """
+    digits = f"translate(substr({c}, 2), '{_PH_FROM}', '{_PH_TO}')"
+    digits = collapse_runs(digits, dialect)
+    digits = f"replace({digits}, '0', '')"
+    return f"(upper(substr({c}, 1, 1)) || rpad(substr({digits}, 1, 3), 3, '0'))"
+
+
+def tokens(c: str, dialect: str) -> str:
+    """split a normalized string on single spaces → non-empty token list
+    (≙ ES standard analyzer for our normalized inputs; SURVEY §3 row 8)."""
+    if dialect == DUCKDB:
+        return f"list_filter(string_split({c}, ' '), x -> x <> '')"
+    return f"filter(split({c}, ' '), x -> x != '')"
+
+
+def char_ngrams(c: str, n: int, dialect: str) -> str:
+    """character n-gram list of a string (SURVEY §3 row 11)."""
+    if dialect == DUCKDB:
+        return (
+            f"list_transform(range(1, greatest(length({c}) - {n} + 2, 1)), "
+            f"i -> substr({c}, CAST(i AS INTEGER), {n}))"
+        )
+    # NB: Spark's sequence(1, 0) descends ([1, 0]) — guard short strings.
+    return (
+        f"CASE WHEN length({c}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, length({c}) - {n} + 1), "
+        f"i -> substr({c}, i, {n})) END"
+    )
+
+
+def md5_int64(c: str, dialect: str) -> str:
+    """stable 60-bit integer hash of a string, identical across engines.
+
+    Used for minhash / simhash / fingerprints where Spark's hash() and
+    DuckDB's hash() would disagree.
+    """
+    if dialect == DUCKDB:
+        return f"CAST(('0x' || substr(md5({c}), 1, 15)) AS BIGINT)"
+    return f"CAST(conv(substr(md5({c}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def lev_within_auto(a: str, b: str, dialect: str) -> str:
+    """ES fuzziness:auto parity (SURVEY §3 row 9): allowed edits k by length
+    of the shorter operand: <3 → 0, 3-5 → 1, ≥6 → 2."""
+    k = (
+        f"CASE WHEN least(length({a}), length({b})) < 3 THEN 0 "
+        f"WHEN least(length({a}), length({b})) < 6 THEN 1 ELSE 2 END"
+    )
+    return f"(levenshtein({a}, {b}) <= {k})"
+
+
+def lev_within(a: str, b: str, k: int, dialect: str) -> str:
+    return f"(levenshtein({a}, {b}) <= {k})"
+
+
+def date_within(a: str, b: str, window_days: int, dialect: str) -> str:
+    """date-window range matcher (SURVEY §3 row 12): |a-b| ≤ window."""
+    return f"(abs({epoch_day(a, dialect)} - {epoch_day(b, dialect)}) <= {window_days})"
+
+
+def token_overlap(a: str, b: str, dialect: str) -> str:
+    """analyzed ``match`` parity (SURVEY §3 row 8): ≥1 shared token."""
+    ta, tb = tokens(a, dialect), tokens(b, dialect)
+    if dialect == DUCKDB:
+        return f"(len(list_intersect({ta}, {tb})) > 0)"
+    return f"(size(array_intersect({ta}, {tb})) > 0)"
+
+
+def phonetic_token_eq(a: str, b: str, dialect: str) -> str:
+    """phonetic match parity (SURVEY §3 row 10): ≥1 token pair with equal
+    phonetic code (≙ ES ``match`` on a phonetic-analyzed subfield: OR over
+    query tokens against the phonetic token index)."""
+    pha = _phonetic_token_list(a, dialect)
+    phb = _phonetic_token_list(b, dialect)
+    if dialect == DUCKDB:
+        return f"(len(list_intersect({pha}, {phb})) > 0)"
+    return f"(size(array_intersect({pha}, {phb})) > 0)"
+
+
+def _phonetic_token_list(c: str, dialect: str) -> str:
+    t = tokens(c, dialect)
+    inner = phonetic_code("x", dialect)
+    if dialect == DUCKDB:
+        return f"list_transform({t}, x -> {inner})"
+    return f"transform({t}, x -> {inner})"

@@ -1,0 +1,131 @@
+"""Transitive clustering: the batch equivalent of zentity's snowball loop.
+
+The reference resolves one entity per request by iteratively re-querying with
+newly harvested attribute values until fixpoint or ``max_hops``
+(``resolution/Job.java::run`` hop loop ≈L1150-1350, SURVEY.md §3 row 21).
+Run from every seed simultaneously, that fixpoint is exactly the connected
+components of the match-edge graph (SURVEY §1 equivalence argument), so the
+all-pairs batch mode computes CC with the **alternating large-star /
+small-star** algorithm (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14 — O(log² n) rounds, shuffle-bounded, skew-tolerant),
+and the seeded ``max_hops`` mode is bounded label propagation (BFS rounds)
+from the seed docs.
+
+Both operate purely on DataFrames; each iteration is one Catalyst job with
+``localCheckpoint()`` to truncate lineage (resume-friendly, no stack-depth
+blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """undirected edge list → canonical (u < v), deduped, no self-loops."""
+    e = edges.select(
+        F.least("doc_id_a", "doc_id_b").alias("u"),
+        F.greatest("doc_id_a", "doc_id_b").alias("v"),
+    ).where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+    return e
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    nbr = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = nbr.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    out = (
+        nbr.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+    return out.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """orient edges large→small; connect all smaller neighbors (and u) to the
+    minimum of the small neighborhood."""
+    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = d.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    nodes = d.select("u", "v").union(d.select("u", F.col("u").alias("v"))).dropDuplicates()
+    out = (
+        nodes.join(m, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    return out.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).dropDuplicates(["u", "v"])
+
+
+def _checksum(e: DataFrame):
+    row = e.select(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-insensitive, overflow-free under ANSI mode
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """edges(doc_id_a, doc_id_b) → labels(doc_id, entity_id).
+
+    entity_id is the lexicographic minimum doc_id of the component (matches
+    the DuckDB recursive-CTE oracle).  Docs with no edges are absent from the
+    output — callers attach singletons with a left join.
+    """
+    e = _canon(edges).localCheckpoint()
+    if e.isEmpty():
+        return e.select(F.col("u").alias("doc_id"), F.col("v").alias("entity_id"))
+    prev = None
+    for _ in range(max_iter):
+        e = _large_star(e).localCheckpoint()
+        e = _small_star(e).localCheckpoint()
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: e is a star forest with canonical (u, v), u < v — so u is
+    # the component minimum (root) and v the member
+    labels = e.select(F.col("v").alias("doc_id"), F.col("u").alias("entity_id"))
+    roots = e.select(F.col("u").alias("doc_id"), F.col("u").alias("entity_id"))
+    return (
+        labels.union(roots)
+        .groupBy("doc_id")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
+
+
+def bounded_label_propagation(edges: DataFrame, seeds: DataFrame,
+                              max_hops: int = 100) -> DataFrame:
+    """seeded resolution with hop semantics (``max_hops`` parity, SURVEY §8
+    R2 / M6): BFS from seed docs over match edges, at most ``max_hops``
+    expansion rounds.
+
+    seeds: DataFrame with column doc_id.  Returns (doc_id, hop) where hop is
+    the round in which the doc first joined the entity (seeds → hop 0), i.e.
+    the ``_hop`` ordinal the reference records per hit
+    (``Job.java`` docIds/hop tracking ≈L500-540, L1100-1150).
+    """
+    e = _canon(edges)
+    nbr = (e.select("u", "v")
+           .union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+           .localCheckpoint())
+    reached = seeds.select("doc_id").distinct().withColumn("hop", F.lit(0)).localCheckpoint()
+    frontier = reached
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(nbr, frontier.doc_id == nbr.u)
+            .select(F.col("v").alias("doc_id"))
+            .distinct()
+            .join(reached.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        reached = reached.union(nxt).localCheckpoint()
+        frontier = nxt
+    return reached

@@ -1,0 +1,442 @@
+"""Model → executable resolution plan, rendered as SQL for two dialects.
+
+This is the Spark-side equivalent of the reference's query generation
+(``resolution/Job.java::makeAttributeClauses/makeResolversClause/
+makeResolversFilterTree`` ≈L300-640 — SURVEY.md §3 rows 16-18): where the
+reference compiles an entity model + input into nested Elasticsearch bool
+queries at every hop, we compile the model ONCE into a declarative relational
+pipeline:
+
+    docs(doc_id, spans)
+      → attrs(doc_id, attr, field, value_norm)           [extraction]
+      → keys(doc_id, attr, key)                          [per-matcher keys]
+      → ck_<resolver>(doc_id, ckey)                      [composite keys]
+      → pairs(doc_id_a, doc_id_b, resolver)              [blocked self-join]
+      → match_edges(doc_id_a, doc_id_b [, resolver])     [verified, AND-of-attrs]
+
+Design notes (scale):
+  * **Composite per-resolver blocking keys.**  A resolver requires ALL of its
+    attributes to match (``makeResolversClause`` AND semantics), so the
+    blocking key for a resolver is the cross-product struct of its per
+    attribute keys.  This is what keeps hot blocks small at 10^12-doc scale:
+    a hot name token crossed with a dob-bucket or a phone number yields tiny
+    blocks, instead of one quadratic name block.
+  * DNF factoring of the resolver tree (``makeResolversFilterTree``) is an
+    ES-query-size optimization with no Spark analog — Catalyst handles
+    predicate simplification; we emit one pair stream per resolver and union.
+  * Every leaf expression comes from ``zentity_spark.dialect`` so the DuckDB
+    correctness oracle runs the byte-same logic (SURVEY §6.2).
+
+Field-scoping deviation (documented): the reference binds each matcher to a
+concrete target index field; verification here applies the OR of all matchers
+mapped to an attribute to all of that attribute's extracted values
+(field-agnostic).  Index-applicability pruning (row 15) is preserved — a
+source that maps no field for an attribute contributes no values.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from zentity_spark import dialect as D
+from zentity_spark.model import Model
+
+DEFAULT_BLOCK_CAP = 1000  # ≙ max_docs_per_query (Job.java DEFAULT_MAX_DOCS_PER_QUERY ≈L60-100)
+
+_PAIR_SEP = "§"
+
+
+@dataclass(frozen=True)
+class Scope:
+    """≙ ``resolution/input/Input.java::parseScope`` (≈L380-600, SURVEY row 25):
+    include/exclude of resolvers, indices (sources) and attribute values."""
+
+    include_resolvers: tuple = ()
+    exclude_resolvers: tuple = ()
+    include_sources: tuple = ()
+    exclude_sources: tuple = ()
+    exclude_values: tuple = ()   # (attr, value_norm) pairs dropped at extraction
+
+    def resolver_active(self, name: str) -> bool:
+        if self.include_resolvers and name not in self.include_resolvers:
+            return False
+        return name not in self.exclude_resolvers
+
+    def source_active(self, name: str) -> bool:
+        if self.include_sources and name not in self.include_sources:
+            return False
+        return name not in self.exclude_sources
+
+
+def _window_days(params: dict) -> int:
+    w = str(params.get("window", "2d"))
+    m = re.fullmatch(r"(\d+)d", w)
+    if not m:
+        raise ValueError(f"unsupported date window '{w}' (expected e.g. '2d')")
+    return int(m.group(1))
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+@dataclass
+class CompiledPlan:
+    model: Model
+    scope: Scope = dc_field(default_factory=Scope)
+    block_cap: int = DEFAULT_BLOCK_CAP
+
+    # ---------- plan-time lookups ----------
+
+    def normalizer(self, attr: str) -> str:
+        a = self.model.attributes[attr]
+        n = a.params.get("normalizer")
+        if n:
+            return n
+        return "date" if a.type == "date" else "none"
+
+    def field_map(self):
+        """[(source, span_field, attr)] distinct extraction mappings."""
+        out = []
+        for src, ix in self.model.indices.items():
+            if not self.scope.source_active(src):
+                continue
+            for f in ix.fields:
+                t = (src, f.span_field, f.attribute)
+                if t not in out:
+                    out.append(t)
+        return out
+
+    def attr_matchers(self, attr: str):
+        """[(matcher_name, Matcher, max_field_quality)] mapped to attr
+        across active sources (field-agnostic union, see module doc)."""
+        best: dict = {}
+        for src, ix in self.model.indices.items():
+            if not self.scope.source_active(src):
+                continue
+            for f in ix.fields:
+                if f.attribute != attr or f.matcher is None:
+                    continue
+                q = f.quality if f.quality is not None else 1.0
+                cur = best.get(f.matcher)
+                if cur is None or q > cur:
+                    best[f.matcher] = q
+        return [(m, self.model.matchers[m], best[m]) for m in sorted(best)]
+
+    def active_resolvers(self):
+        out = []
+        for name, r in sorted(self.model.resolvers.items()):
+            if not self.scope.resolver_active(name):
+                continue
+            # index-applicability pruning (row 15): a resolver is usable only
+            # if every one of its attributes has at least one mapped matcher.
+            if all(self.attr_matchers(a) for a in r.attributes):
+                out.append(r)
+        return out
+
+    # ---------- stage SQL ----------
+
+    def sql_spans(self, dialect: str, docs_rel: str) -> str:
+        """explode spans → (doc_id, source, kind, text); source is the
+        doc_id prefix before '-' (FIXTURES.md §1 doc-id shape)."""
+        if dialect == D.DUCKDB:
+            return (
+                f"SELECT doc_id, substr(doc_id, 1, position('-' IN doc_id) - 1) AS source, "
+                f"s.kind AS kind, s.text AS text "
+                f"FROM (SELECT doc_id, unnest(spans) AS s FROM {docs_rel})"
+            )
+        return (
+            f"SELECT doc_id, substr(doc_id, 1, instr(doc_id, '-') - 1) AS source, "
+            f"s.kind AS kind, s.text AS text "
+            f"FROM (SELECT doc_id, explode(spans) AS s FROM {docs_rel})"
+        )
+
+    def sql_fieldmap(self, dialect: str) -> str:
+        """(source, field, attr) extraction-spec lookup as literal rows —
+        joined (broadcast at scale) instead of a giant CASE, which both blows
+        whole-stage-codegen past 64KB and gets duplicated by projection
+        collapse."""
+        fmap = self.field_map()
+        if not fmap:
+            return "SELECT '' AS source, '' AS field, '' AS attr WHERE 1=0"
+        rows = ", ".join(f"({_q(s)}, {_q(f)}, {_q(a)})" for s, f, a in fmap)
+        return f"SELECT * FROM (VALUES {rows}) AS t(source, field, attr)"
+
+    def sql_attrs(self, dialect: str) -> str:
+        """parse 'field=value' text spans, map (source, field) → attribute
+        via the fieldmap join, normalize (≙ attribute-value harvesting,
+        Job.java hit-parsing ≈L1000-1150, SURVEY row 22)."""
+        norm_branches = " ".join(
+            f"WHEN attr = {_q(a)} THEN {D.NORMALIZERS[self.normalizer(a)]('value_raw', dialect)}"
+            for a in sorted(self.model.attributes)
+        )
+        excl = ""
+        if self.scope.exclude_values:
+            excl = " AND NOT (" + " OR ".join(
+                f"(attr = {_q(a)} AND value_norm = {_q(v)})"
+                for a, v in self.scope.exclude_values) + ")"
+        return (
+            "SELECT doc_id, source, attr, field, value_norm FROM ("
+            "  SELECT doc_id, source, attr, field,"
+            f"   CASE {norm_branches} END AS value_norm FROM ("
+            "    SELECT s.doc_id, s.source, fm.attr AS attr, s.field, s.value_raw FROM ("
+            "      SELECT doc_id, source,"
+            "       substr(text, 1, position('=' IN text) - 1) AS field,"
+            "       substr(text, position('=' IN text) + 1) AS value_raw"
+            "      FROM spans_x"
+            "      WHERE kind = 'text' AND position('=' IN text) > 0"
+            "    ) s JOIN fieldmap_x fm ON fm.source = s.source AND fm.field = s.field"
+            "  )"
+            f") WHERE value_norm IS NOT NULL AND value_norm <> ''{excl}"
+        )
+
+    def _key_branches(self, attr: str, dialect: str):
+        """key-emission SELECTs for one attribute (union of matcher key fns).
+
+        Key prefixes keep matcher key-spaces disjoint:
+          x: exact value | t: token | p: phonetic signature | d: date bucket
+          g: char-ngram
+        Recall contract per matcher kind (SURVEY §5.3):
+          exact → x;  tokens → t;  phonetic(and) → p (signature), (or) → t of
+          codes;  fuzzy → x ∪ t ∪ p (≥1 unedited token, or phonetic-preserving
+          edit, or exact);  date_window → d over window-sized buckets, each
+          value emits bucket and bucket+1 so any pair within the window shares
+          a bucket;  jaro_winkler → t ∪ p;  ngram → g.
+        """
+        src = f"(SELECT DISTINCT doc_id, value_norm FROM attrs_x WHERE attr = {_q(attr)})"
+
+        def exploded(prefix: str, list_sql: str) -> str:
+            """generators can't nest in expressions (Spark) — explode in an
+            inner select, prefix outside."""
+            ex = "unnest" if dialect == D.DUCKDB else "explode"
+            return (
+                f"SELECT doc_id, {_q(attr)} AS attr, '{prefix}:' || tok AS key "
+                f"FROM (SELECT doc_id, {ex}({list_sql}) AS tok FROM {src})"
+            )
+
+        branches = []
+        kinds_done = set()
+        for _, m, _q_ in self.attr_matchers(attr):
+            kind = m.kind
+            if kind in kinds_done:
+                continue
+            kinds_done.add(kind)
+            if kind == "exact":
+                branches.append(
+                    f"SELECT doc_id, {_q(attr)} AS attr, 'x:' || value_norm AS key FROM {src}")
+            elif kind in ("tokens", "jaro_winkler", "fuzzy"):
+                branches.append(exploded("t", D.tokens("value_norm", dialect)))
+                if kind == "fuzzy":
+                    branches.append(
+                        f"SELECT doc_id, {_q(attr)} AS attr, 'x:' || value_norm AS key FROM {src}")
+                if kind in ("fuzzy", "jaro_winkler"):
+                    branches.append(
+                        f"SELECT doc_id, {_q(attr)} AS attr, 'p:' || {self._ph_sig('value_norm', dialect)} AS key FROM {src}")
+            elif kind == "phonetic":
+                if m.params.get("operator", "or") == "and":
+                    branches.append(
+                        f"SELECT doc_id, {_q(attr)} AS attr, 'p:' || {self._ph_sig('value_norm', dialect)} AS key FROM {src}")
+                else:
+                    branches.append(exploded(
+                        "c", D._phonetic_token_list("value_norm", dialect)))
+            elif kind == "date_window":
+                w = _window_days(m.params)
+                ed = D.epoch_day("value_norm", dialect)
+                styp = "VARCHAR" if dialect == D.DUCKDB else "STRING"
+                for delta in (0, 1):
+                    branches.append(
+                        f"SELECT doc_id, {_q(attr)} AS attr, "
+                        f"'d:' || CAST(CAST(floor({ed} / {w}.0) AS BIGINT) + {delta} AS {styp}) AS key "
+                        f"FROM {src}")
+            elif kind == "ngram":
+                n = int(m.params.get("n", 3))
+                branches.append(exploded("g", D.char_ngrams("value_norm", n, dialect)))
+        return branches
+
+    def _ph_sig(self, c: str, dialect: str) -> str:
+        """sorted '|'-joined phonetic codes of all tokens — the 'and'
+        phonetic signature."""
+        lst = D._phonetic_token_list(c, dialect)
+        if dialect == D.DUCKDB:
+            return f"array_to_string(list_sort({lst}), '|')"
+        return f"array_join(array_sort({lst}), '|')"
+
+    def sql_keys(self, dialect: str) -> str:
+        attrs_needed = sorted({a for r in self.active_resolvers() for a in r.attributes})
+        branches = []
+        for a in attrs_needed:
+            branches.extend(self._key_branches(a, dialect))
+        if not branches:
+            return ("SELECT '' AS doc_id, '' AS attr, '' AS key WHERE 1=0")
+        return ("SELECT DISTINCT doc_id, attr, key FROM ("
+                + " UNION ALL ".join(branches) + ")")
+
+    def sql_resolver_ck(self, r, dialect: str) -> str:
+        """composite candidate key per resolver: cross-product of the per
+        attribute key sets of a doc (SURVEY row 17 → composite blocking)."""
+        attrs = list(r.attributes)
+        base = (f"SELECT doc_id, key AS k0 FROM keys_x WHERE attr = {_q(attrs[0])}")
+        sql = f"({base}) t0"
+        sel = "t0.k0"
+        for i, a in enumerate(attrs[1:], start=1):
+            sql += (f" JOIN (SELECT doc_id, key AS k{i} FROM keys_x "
+                    f"WHERE attr = {_q(a)}) t{i} ON t{i}.doc_id = t0.doc_id")
+            sel += f" || '{_PAIR_SEP}' || t{i}.k{i}"
+        return f"SELECT t0.doc_id AS doc_id, {sel} AS ckey FROM {sql}"
+
+    def sql_pairs(self, dialect: str) -> str:
+        """blocked self-join per resolver with per-block cap
+        (row_number ≤ cap ≙ max_docs_per_query, SURVEY row 1/§3b limits),
+        then union over resolvers."""
+        parts = []
+        for r in self.active_resolvers():
+            ck = f"ck_{r.name}"
+            parts.append(
+                f"SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+                f"{_q(r.name)} AS resolver "
+                f"FROM {ck}_capped a JOIN {ck}_capped b "
+                f"ON a.ckey = b.ckey AND a.doc_id < b.doc_id"
+            )
+        if not parts:
+            return ("SELECT '' AS doc_id_a, '' AS doc_id_b, "
+                    "'' AS resolver WHERE 1=0")
+        return " UNION ALL ".join(parts)
+
+    def sql_ck_capped(self, r, dialect: str) -> str:
+        return (
+            "SELECT doc_id, ckey FROM ("
+            f"  SELECT doc_id, ckey, row_number() OVER "
+            f"  (PARTITION BY ckey ORDER BY doc_id) AS rn FROM ck_{r.name}"
+            f") WHERE rn <= {self.block_cap}"
+        )
+
+    # ---------- verification predicates ----------
+
+    def attr_pair_pred(self, attr: str, va: str, vb: str, dialect: str) -> str:
+        """OR over matchers mapped to attr, value-level, symmetric
+        (≙ attribute clause, ``Job.java::makeAttributeClauses`` ≈L300-460)."""
+        preds = []
+        for _, m, _fq in self.attr_matchers(attr):
+            preds.append(self.matcher_pred(m, va, vb, dialect))
+        return "(" + " OR ".join(preds) + ")"
+
+    def matcher_pred(self, m, x: str, y: str, dialect: str) -> str:
+        if m.kind == "exact":
+            return f"({x} = {y})"
+        if m.kind == "tokens":
+            return D.token_overlap(x, y, dialect)
+        if m.kind == "fuzzy":
+            fz = str(m.params.get("fuzziness", "auto")).lower()
+            if fz in ("auto", ""):
+                return D.lev_within_auto(x, y, dialect)
+            return D.lev_within(x, y, int(fz), dialect)
+        if m.kind == "phonetic":
+            if m.params.get("operator", "or") == "and":
+                return f"({self._ph_sig(x, dialect)} = {self._ph_sig(y, dialect)})"
+            return D.phonetic_token_eq(x, y, dialect)
+        if m.kind == "date_window":
+            return D.date_within(x, y, _window_days(m.params), dialect)
+        if m.kind == "jaro_winkler":
+            thr = float(m.params.get("threshold", 0.9))
+            # Spark: a registered vectorized pandas UDF (functions/similarity.py);
+            # DuckDB: the built-in. Both implement standard Jaro-Winkler.
+            fn = ("jaro_winkler_similarity" if dialect == D.DUCKDB
+                  else "jaro_winkler_sim")
+            return f"({fn}({x}, {y}) >= {thr})"
+        if m.kind == "ngram":
+            n = int(m.params.get("n", 3))
+            thr = float(m.params.get("jaccard", 0.5))
+            ga, gb = D.char_ngrams(x, n, dialect), D.char_ngrams(y, n, dialect)
+            if dialect == D.DUCKDB:
+                inter = f"len(list_distinct(list_intersect({ga}, {gb})))"
+                uni = f"len(list_distinct({ga} || {gb}))"
+            else:
+                inter = f"size(array_distinct(array_intersect({ga}, {gb})))"
+                uni = f"size(array_distinct(concat({ga}, {gb})))"
+            return f"(({inter}) >= {thr} * ({uni}))"
+        raise ValueError(f"unknown matcher kind {m.kind}")
+
+    def _exists_pair(self, va_list: str, vb_list: str, pred, dialect: str) -> str:
+        """∃ x ∈ va_list, y ∈ vb_list: pred(x, y) — multi-valued attribute
+        semantics (TreeSet<Value> per attribute in the reference,
+        ``input/value/Value.java``)."""
+        p = pred("x", "y")
+        if dialect == D.DUCKDB:
+            return (f"(len(list_filter({va_list}, x -> "
+                    f"len(list_filter({vb_list}, y -> {p})) > 0)) > 0)")
+        return f"exists({va_list}, x -> exists({vb_list}, y -> {p}))"
+
+    def sql_vals(self, dialect: str) -> str:
+        if dialect == D.DUCKDB:
+            agg = "list_sort(list_distinct(list(value_norm)))"
+        else:
+            agg = "sort_array(collect_set(value_norm))"
+        return (f"SELECT doc_id, attr, {agg} AS vlist "
+                f"FROM attrs_x GROUP BY doc_id, attr")
+
+    def sql_edges_resolver(self, r, dialect: str) -> str:
+        joins = []
+        conds = []
+        for i, a in enumerate(r.attributes):
+            joins.append(
+                f" JOIN vals_x va{i} ON va{i}.doc_id = p.doc_id_a AND va{i}.attr = {_q(a)}"
+                f" JOIN vals_x vb{i} ON vb{i}.doc_id = p.doc_id_b AND vb{i}.attr = {_q(a)}")
+            conds.append(self._exists_pair(
+                f"va{i}.vlist", f"vb{i}.vlist",
+                lambda x, y, a=a: self.attr_pair_pred(a, x, y, dialect),
+                dialect))
+        return (
+            f"SELECT p.doc_id_a, p.doc_id_b, {_q(r.name)} AS resolver "
+            f"FROM (SELECT DISTINCT doc_id_a, doc_id_b FROM pairs_x "
+            f"      WHERE resolver = {_q(r.name)}) p"
+            + "".join(joins)
+            + " WHERE " + " AND ".join(conds)
+        )
+
+    def sql_match_edges(self, dialect: str) -> str:
+        parts = [f"edges_{r.name}" for r in self.active_resolvers()]
+        if not parts:
+            return ("SELECT '' AS doc_id_a, '' AS doc_id_b, "
+                    "'' AS resolver WHERE 1=0")
+        return " UNION ALL ".join(
+            f"SELECT doc_id_a, doc_id_b, resolver FROM {p}" for p in parts)
+
+    # ---------- assembled CTE chain ----------
+
+    def ctes(self, dialect: str, docs_rel: str):
+        """ordered [(name, sql)] covering every stage up to match_edges."""
+        out = [
+            ("spans_x", self.sql_spans(dialect, docs_rel)),
+            ("fieldmap_x", self.sql_fieldmap(dialect)),
+            ("attrs_x", self.sql_attrs(dialect)),
+            ("keys_x", self.sql_keys(dialect)),
+        ]
+        for r in self.active_resolvers():
+            out.append((f"ck_{r.name}", self.sql_resolver_ck(r, dialect)))
+            out.append((f"ck_{r.name}_capped", self.sql_ck_capped(r, dialect)))
+        out.append(("pairs_x", self.sql_pairs(dialect)))
+        out.append(("vals_x", self.sql_vals(dialect)))
+        for r in self.active_resolvers():
+            out.append((f"edges_{r.name}", self.sql_edges_resolver(r, dialect)))
+        out.append(("match_edges_x", self.sql_match_edges(dialect)))
+        return out
+
+    def sql(self, dialect: str, docs_rel: str, select: str,
+            upto: str | None = None) -> str:
+        """WITH <ctes...> <select>; ``upto`` truncates the chain (the final
+        select may only reference CTEs up to that name)."""
+        ctes = self.ctes(dialect, docs_rel)
+        if upto is not None:
+            idx = [i for i, (n, _) in enumerate(ctes) if n == upto]
+            if not idx:
+                raise KeyError(upto)
+            ctes = ctes[: idx[0] + 1]
+        body = ",\n".join(f"{n} AS ({s})" for n, s in ctes)
+        return f"WITH {body}\n{select}"
+
+
+def compile_model(model: Model, scope: Scope | None = None,
+                  block_cap: int = DEFAULT_BLOCK_CAP) -> CompiledPlan:
+    return CompiledPlan(model=model, scope=scope or Scope(),
+                        block_cap=block_cap)

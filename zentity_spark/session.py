@@ -1,0 +1,38 @@
+"""SparkSession factory with scale-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(master: str | None = None, app: str = "zentity_spark",
+              shuffle_partitions: int | None = None,
+              extra: dict | None = None) -> SparkSession:
+    """Build (or reuse) a session.
+
+    Defaults: AQE on (runtime re-plan + skew-join backstop), UTC session TZ
+    (oracle comparability), Arrow enabled (pandas-UDF batches), shuffle
+    partitions ≈ cores for local mode (the 200 default over-parallelizes
+    small local runs and under-parallelizes clusters — set explicitly).
+    """
+    master = master or os.environ.get("ZENTITY_SPARK_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("ZENTITY_SHUFFLE_PARTITIONS", "32"))
+    b = (
+        SparkSession.builder.master(master).appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", os.environ.get("ZENTITY_SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("ZENTITY_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,323 @@
+"""Deterministic synthesis of the interleaved text+media documents corpus.
+
+Implements FIXTURES.md §1-§5 (seed=42, no external data): an Iceberg-shaped
+table ``(doc_id string, spans array<struct<kind,text,media_ref,offset>>)``
+per BASELINE.json ``input_hint``, plus ground truth (``persons``,
+``doc_truth``, ``labeled_pairs``).
+
+Correctness-by-construction guarantees (these make pairwise F1 = 1.0
+achievable and are relied on by tests):
+  * distinct persons' DOBs are globally ≥ 5 days apart → the ±2d date-window
+    matcher can never bridge two persons via ``r_name_dob``;
+  * phones and emails are unique per person → ``r_name_phone`` / ``r_email``
+    can never bridge two persons;
+  * every non-anchor doc keeps at least one full resolver path to its
+    person's anchor doc (email, or name-within-matcher-reach + dob/phone);
+  * ~5% of persons share the full name "john smith" (FIXTURES §4 skew knob)
+    → hot exact/phonetic name blocks, uniqueness preserved via dob/phone.
+
+Media spans are interleaved pseudo-randomly and carry no attribute values;
+the per-row span-sequence invariant (kind, text, media_ref, order) is
+checked end-to-end (BASELINE.md).
+
+Parquet written with pyarrow (not Spark) so Spark and the DuckDB oracle read
+byte-identical files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+from datetime import date, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+
+SPAN_STRUCT = pa.struct([
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+])
+
+DOCS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("spans", pa.list_(SPAN_STRUCT)),
+])
+
+_FIRST_SYL = ["jo", "ma", "an", "el", "sa", "da", "lu", "mi", "ka", "ro",
+              "be", "ni", "ta", "vi", "le", "so", "fa", "ha", "pe", "ga"]
+_FIRST_END = ["n", "ra", "ria", "nna", "son", "la", "mes", "vid", "sha",
+              "mon", "lly", "rk", "th", "rio", "ne", "sta", "bel", "dir",
+              "x", "m"]
+_LAST_SYL = ["smi", "gar", "nel", "bro", "tay", "and", "mar", "tho", "jac",
+             "whi", "har", "cla", "lew", "rob", "wal", "you", "all", "kin",
+             "wri", "sco"]
+_LAST_END = ["th", "cia", "son", "wn", "lor", "erson", "tinez", "mas",
+             "kson", "te", "ris", "rk", "is", "erts", "ker", "ng", "en",
+             "sley", "ght", "tt"]
+
+_CITY_POOL = [a + b for a in ["spring", "river", "oak", "maple", "cedar",
+                              "lake", "hill", "stone", "ash", "elm"]
+              for b in ["field", "ton", "ville", "port", "dale"]]
+
+_VOWELS = "aeiou"
+_CONSONANTS = "bcdfgklmnprst"
+
+HOT_NAME = "john smith"
+HOT_FRACTION = 0.05
+
+TIERS = {
+    "sf0.001": 150,
+    "sf0.01": 1500,
+    "sf0.1": 150000,
+}
+
+
+def _name_pools():
+    rng = random.Random(SEED)
+    firsts = sorted({a + b for a in _FIRST_SYL for b in _FIRST_END})
+    lasts = sorted({a + b for a in _LAST_SYL for b in _LAST_END})
+    rng.shuffle(firsts)
+    rng.shuffle(lasts)
+    return firsts[:200], lasts[:200]
+
+
+def _typo(rng: random.Random, name: str) -> str:
+    """one edit (sub/insert/delete of a consonant), never the first char of a
+    token → within levenshtein-auto reach of the original."""
+    toks = name.split(" ")
+    ti = rng.randrange(len(toks))
+    t = toks[ti]
+    if len(t) < 4:
+        return name
+    pos = rng.randrange(1, len(t))
+    op = rng.choice(["sub", "ins", "del"])
+    c = rng.choice(_CONSONANTS)
+    if op == "sub":
+        t = t[:pos] + c + t[pos + 1:]
+    elif op == "ins":
+        t = t[:pos] + c + t[pos:]
+    else:
+        t = t[:pos] + t[pos + 1:]
+    toks[ti] = t
+    return " ".join(toks)
+
+
+def _phonetic_variant(rng: random.Random, name: str) -> str:
+    """swap one non-initial vowel for another → same phonetic code (vowels
+    are class-0, dropped) AND one edit (also within fuzzy reach)."""
+    toks = name.split(" ")
+    order = list(range(len(toks)))
+    rng.shuffle(order)
+    for ti in order:
+        t = toks[ti]
+        idxs = [i for i in range(1, len(t)) if t[i] in _VOWELS]
+        if idxs:
+            i = rng.choice(idxs)
+            repl = rng.choice([v for v in _VOWELS if v != t[i]])
+            toks[ti] = t[:i] + repl + t[i + 1:]
+            return " ".join(toks)
+    return name
+
+
+def _format_phone(rng: random.Random, digits: str) -> str:
+    styles = [
+        lambda d: d,
+        lambda d: f"+{d[0]} ({d[1:4]}) {d[4:7]}-{d[7:]}",
+        lambda d: f"{d[0]}-{d[1:4]}-{d[4:7]}-{d[7:]}",
+        lambda d: f"+{d[0]} {d[1:4]} {d[4:7]} {d[7:]}",
+    ]
+    return rng.choice(styles)(digits)
+
+
+def _media_ref(doc_id: str, i: int) -> str:
+    return "media://" + hashlib.sha1(f"{doc_id}/{i}".encode()).hexdigest()[:8]
+
+
+def generate(n_persons: int, seed: int = SEED):
+    """Generate (persons, docs, labeled_pairs) as lists of dicts.
+
+    Deterministic for a given (n_persons, seed).
+    """
+    rng = random.Random((seed, n_persons).__repr__())
+    firsts, lasts = _name_pools()
+
+    n_hot = max(2, int(n_persons * HOT_FRACTION))
+    epoch = date(1950, 1, 1)
+
+    persons = []
+    for pid in range(n_persons):
+        if pid < n_hot:
+            name = HOT_NAME
+        else:
+            name = f"{rng.choice(firsts)} {rng.choice(lasts)}"
+        # global ≥5-day spacing between distinct persons' DOBs (see module doc)
+        dob = epoch + timedelta(days=pid * 5)
+        phone = "1555" + f"{pid:07d}"
+        email = f"user{pid:06d}@ex{pid % 7}.example"
+        city = _CITY_POOL[rng.randrange(len(_CITY_POOL))]
+        persons.append({
+            "person_id": f"p-{pid:06d}", "name": name,
+            "dob": dob.isoformat(), "phone": phone,
+            "email": email, "city": city,
+        })
+
+    seq = {s: 0 for s in "abcd"}
+    docs = []          # dict: doc_id, person_id, fields(list[(field, raw)])
+    for p in persons:
+        n_docs = rng.randint(2, 6)
+        pid_docs = []
+        for di in range(n_docs):
+            if di == 0:
+                src = rng.choice("abc")
+                op = "none"
+            else:
+                src = rng.choice("abcd")
+                op = rng.choice(
+                    ["none", "typo", "phonetic", "dob_shift", "drop_attr",
+                     "alt_field"])
+            doc_id = f"{src}-{seq[src]:06d}"
+            seq[src] += 1
+
+            name, dob, phone, email, city = (p["name"], p["dob"], p["phone"],
+                                             p["email"], p["city"])
+            name_field = "full_name"
+            dropped = None
+            if src == "d":
+                fields = [("email", email), ("tel", _format_phone(rng, phone))]
+            else:
+                if op == "typo":
+                    name = _typo(rng, name)
+                elif op == "phonetic":
+                    name = _phonetic_variant(rng, name)
+                elif op == "dob_shift":
+                    d = date.fromisoformat(dob)
+                    dob = (d + timedelta(days=rng.choice([-1, 1]))).isoformat()
+                elif op == "drop_attr":
+                    dropped = rng.choice(["city", "dob", "phone", "email"])
+                elif op == "alt_field":
+                    name_field = "full_name_alt"
+                    if rng.random() < 0.5:
+                        name = _typo(rng, name)
+                fields = [(name_field, name.title() if rng.random() < 0.3 else name)]
+                if dropped != "dob":
+                    fields.append(("birth_date", dob))
+                if dropped != "phone":
+                    fields.append(("tel", _format_phone(rng, phone)))
+                if dropped != "email":
+                    fields.append(("email", email))
+                if dropped != "city":
+                    fields.append(("city", city))
+                # occasional multi-valued phone: a reformatted duplicate
+                if dropped != "phone" and rng.random() < 0.15:
+                    fields.append(("tel", _format_phone(rng, phone)))
+            pid_docs.append({
+                "doc_id": doc_id, "person_id": p["person_id"],
+                "source": src, "fields": fields, "op": op,
+            })
+        docs.extend(pid_docs)
+
+    # labeled pairs: all intra-person pairs (positives) + hot-name
+    # cross-person pairs (hard negatives sharing the name block key)
+    labeled = []
+    by_person = {}
+    for d in docs:
+        by_person.setdefault(d["person_id"], []).append(d["doc_id"])
+    for p in persons:
+        ids = sorted(by_person[p["person_id"]])
+        key = "name_exact:" + p["name"]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                labeled.append({"doc_id_a": ids[i], "doc_id_b": ids[j],
+                                "label": 1, "block_key": key})
+    hot_pids = [p["person_id"] for p in persons[:n_hot]]
+    for i in range(min(len(hot_pids) - 1, 200)):
+        a = sorted(by_person[hot_pids[i]])[0]
+        b = sorted(by_person[hot_pids[i + 1]])[0]
+        x, y = (a, b) if a < b else (b, a)
+        labeled.append({"doc_id_a": x, "doc_id_b": y, "label": 0,
+                        "block_key": "name_exact:" + HOT_NAME})
+
+    return persons, docs, labeled
+
+
+def docs_to_rows(docs, seed: int = SEED):
+    """Render docs to interleaved (doc_id, spans) rows with media spans."""
+    rows = []
+    for d in docs:
+        rng = random.Random((seed, d["doc_id"]).__repr__())
+        spans = []
+        n_media = rng.randint(0, 3)
+        media_slots = sorted(rng.randrange(len(d["fields"]) + 1)
+                             for _ in range(n_media))
+        mi = 0
+        media_i = 0
+        for fi, (fld, raw) in enumerate(d["fields"]):
+            while media_i < n_media and media_slots[media_i] == fi:
+                spans.append(("media", "", _media_ref(d["doc_id"], mi)))
+                mi += 1
+                media_i += 1
+            spans.append(("text", f"{fld}={raw}", ""))
+        while media_i < n_media:
+            spans.append(("media", "", _media_ref(d["doc_id"], mi)))
+            mi += 1
+            media_i += 1
+        rows.append({
+            "doc_id": d["doc_id"],
+            "spans": [{"kind": k, "text": t, "media_ref": m, "offset": i}
+                      for i, (k, t, m) in enumerate(spans)],
+        })
+    rows.sort(key=lambda r: r["doc_id"])
+    return rows
+
+
+def write_corpus(out_dir: str, n_persons: int, seed: int = SEED) -> dict:
+    """Write documents/persons/doc_truth/labeled_pairs parquet into out_dir."""
+    os.makedirs(out_dir, exist_ok=True)
+    persons, docs, labeled = generate(n_persons, seed)
+    rows = docs_to_rows(docs, seed)
+
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=DOCS_SCHEMA),
+        os.path.join(out_dir, "docs_spans.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist(persons),
+        os.path.join(out_dir, "persons.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": d["doc_id"], "person_id": d["person_id"],
+              "source": d["source"], "op": d["op"]} for d in docs]),
+        os.path.join(out_dir, "doc_truth.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist(labeled),
+        os.path.join(out_dir, "labeled_pairs.parquet"))
+    return {"persons": len(persons), "docs": len(rows), "pairs": len(labeled)}
+
+
+def corpus_dir(tier: str, base: str | None = None) -> str:
+    """Path of the fixture corpus for a tier; generate if missing.
+
+    Committed tiers (sf0.001, sf0.01) live under fixtures/; sf0.1 is
+    generated on demand into .cache/ (gitignored).
+    """
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if base is None:
+        base = os.path.join(
+            repo, ".cache" if tier == "sf0.1" else "fixtures")
+    out = os.path.join(base, tier)
+    marker = os.path.join(out, "docs_spans.parquet")
+    if not os.path.exists(marker):
+        write_corpus(out, TIERS[tier])
+    return out
+
+
+def corpus_dir_for_sf_dir(sf_dir: str) -> str:
+    """Map a driver sf dir (/root/testdata/sf0.01) to our fixture corpus."""
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    if tier not in TIERS:
+        tier = "sf0.01"
+    return corpus_dir(tier)
