@@ -1,0 +1,167 @@
+"""Golden-cluster scenario tests (FIXTURES.md §6, ≙ the shapes of the
+reference's `ResolutionActionIT` — SURVEY.md §6.1): hand-built docs with
+hand-verified expected clusters.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import clusters_of, make_docs
+from zentity_spark.pipeline import ResolutionJob
+from zentity_spark.plans.compiler import Scope
+
+
+def resolve(spark, model, spec, scope=None, block_cap=1000):
+    docs = make_docs(spark, spec)
+    job = ResolutionJob(spark, docs, model, scope=scope, block_cap=block_cap)
+    return clusters_of(job.clusters()), job
+
+
+# --- S1: exact multi-attribute resolver; hard negative on one attribute
+
+def test_s1_exact_multi_attribute(spark, model):
+    spec = [
+        ("a-000001", [("full_name", "Maria Garcia"), ("tel", "+1 (555) 000-1111")]),
+        ("b-000001", [("full_name", "maria garcia"), ("tel", "15550001111")]),
+        # same name, different phone+dob → must NOT merge (hard negative)
+        ("a-000002", [("full_name", "Maria Garcia"), ("tel", "15559998888")]),
+    ]
+    got, _ = resolve(spark, model, spec)
+    assert got == {frozenset({"a-000001", "b-000001"}), frozenset({"a-000002"})}
+
+
+# --- S2: fuzzy + phonetic name variants via r_name_dob
+
+def test_s2_fuzzy_and_phonetic(spark, model):
+    spec = [
+        ("a-000001", [("full_name", "john smith"), ("birth_date", "1984-03-02")]),
+        # phonetic variant (same soundex: smith→smyth), same dob
+        ("b-000001", [("full_name", "john smyth"), ("birth_date", "1984-03-02")]),
+        # typo within fuzzy reach on the alt field, dob inside window
+        ("c-000001", [("full_name_alt", "john smitt"), ("birth_date", "1984-03-03")]),
+        # beyond edit distance and different phonetic code → stays out
+        ("a-000002", [("full_name", "joan smizzle"), ("birth_date", "1984-03-02")]),
+    ]
+    got, _ = resolve(spark, model, spec)
+    assert got == {frozenset({"a-000001", "b-000001", "c-000001"}),
+                   frozenset({"a-000002"})}
+
+
+# --- S3: date window ±2d merges, ±5d does not
+
+def test_s3_date_window(spark, model):
+    spec = [
+        ("a-000001", [("full_name", "elsa kinberg"), ("birth_date", "1984-03-02")]),
+        ("b-000001", [("full_name", "elsa kinberg"), ("birth_date", "1984-03-04")]),
+        ("c-000001", [("full_name", "elsa kinberg"), ("birth_date", "1984-03-09")]),
+    ]
+    got, _ = resolve(spark, model, spec)
+    assert got == {frozenset({"a-000001", "b-000001"}), frozenset({"c-000001"})}
+
+
+# --- S4: multi-hop snowball chain + max_hops parity
+
+S4_SPEC = [
+    # d1 —(name,phone)— d2 —(name,dob)— d3 —(email)— d4 ; d5 unrelated
+    ("a-000001", [("full_name", "kara wright"), ("tel", "15551230001")]),
+    ("b-000001", [("full_name", "kara wright"), ("tel", "1-555-123-0001"),
+                  ("birth_date", "1990-06-15")]),
+    ("c-000001", [("full_name", "kara wright"), ("birth_date", "1990-06-16"),
+                  ("email", "KW@example.com")]),
+    ("d-000001", [("email", "kw@example.com")]),
+    ("a-000002", [("full_name", "zoe unrelated"), ("tel", "15550009999")]),
+]
+
+
+def test_s4_batch_cluster(spark, model):
+    got, _ = resolve(spark, model, S4_SPEC)
+    assert got == {
+        frozenset({"a-000001", "b-000001", "c-000001", "d-000001"}),
+        frozenset({"a-000002"}),
+    }
+
+
+def test_s4_seeded_max_hops(spark, model):
+    docs = make_docs(spark, S4_SPEC)
+    job = ResolutionJob(spark, docs, model)
+    edges = job.match_edges().cache()
+    edges.count()
+
+    full = {r["doc_id"]: r["hop"] for r in
+            job.resolve_seeded(["a-000001"], max_hops=10, edges=edges).collect()}
+    assert full == {"a-000001": 0, "b-000001": 1, "c-000001": 2, "d-000001": 3}
+
+    h1 = {r["doc_id"]: r["hop"] for r in
+          job.resolve_seeded(["a-000001"], max_hops=1, edges=edges).collect()}
+    assert h1 == {"a-000001": 0, "b-000001": 1}
+
+
+# --- S5: scope — weak resolver excluded by default, included on request
+
+def test_s5_scope_resolver_toggle(spark, model):
+    spec = [
+        ("a-000001", [("full_name", "omar velez"), ("city", "Springfield")]),
+        ("b-000001", [("full_name", "omar velez"), ("city", "springfield")]),
+    ]
+    # default scope excludes r_name_city_weak → no merge evidence
+    got_default, _ = resolve(spark, model, spec)
+    assert got_default == {frozenset({"a-000001"}), frozenset({"b-000001"})}
+    # explicitly empty scope activates it → merge
+    got_weak, _ = resolve(spark, model, spec, scope=Scope())
+    assert got_weak == {frozenset({"a-000001", "b-000001"})}
+
+
+def test_s5_scope_exclude_value(spark, model):
+    """excluded attribute values are dropped at extraction (≙ scope
+    attribute-value filters, Input.java::parseScope)."""
+    spec = [
+        ("a-000001", [("full_name", "ivy poole"), ("tel", "15557770001")]),
+        ("b-000001", [("full_name", "ivy poole"), ("tel", "15557770001")]),
+    ]
+    scope = Scope(exclude_resolvers=("r_name_city_weak",),
+                  exclude_values=(("phone", "15557770001"),))
+    got, job = resolve(spark, model, spec, scope=scope)
+    assert got == {frozenset({"a-000001"}), frozenset({"b-000001"})}
+    assert job.attrs().where(F.col("attr") == "phone").count() == 0
+
+
+# --- S6: block cap (≙ max_docs_per_query) caps hot blocks, clusters survive
+#         via other resolvers
+
+def test_s6_block_cap(spark, model):
+    # 6 docs, all phonetic-identical names; pairs via (name,phone)
+    spec = []
+    for i in range(3):
+        phone = f"155500022{i:02d}"
+        spec.append((f"a-0000{i:02d}",
+                     [("full_name", "lee chan"), ("tel", phone)]))
+        spec.append((f"b-0000{i:02d}",
+                     [("full_name", "lee chan"), ("tel", phone)]))
+    got, job = resolve(spark, model, spec, block_cap=2)
+    # the capped hot name-block alone can't bridge; phone keys (distinct
+    # per person) stay under the cap → per-person clusters remain exact
+    assert got == {
+        frozenset({f"a-0000{i:02d}", f"b-0000{i:02d}"}) for i in range(3)
+    }
+
+
+# --- S9: media passthrough (every scenario's rows preserve span sequences)
+
+def test_s9_media_passthrough(spark, model):
+    spec = [
+        ("a-000001", [("@media", "media://0001"), ("full_name", "nia drake"),
+                      ("@media", "media://0002"), ("tel", "15553330001")]),
+        ("b-000001", [("full_name", "nia drake"), ("tel", "15553330001"),
+                      ("@media", "media://0003")]),
+    ]
+    docs = make_docs(spark, spec)
+    job = ResolutionJob(spark, docs, model)
+    out = job.clusters()
+    rows = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"])
+                          for s in r["spans"]] for r in out.collect()}
+    assert rows["a-000001"] == [("media", "", "media://0001"),
+                                ("text", "full_name=nia drake", ""),
+                                ("media", "", "media://0002"),
+                                ("text", "tel=15553330001", "")]
+    assert rows["b-000001"][2] == ("media", "", "media://0003")
+    assert clusters_of(out) == {frozenset({"a-000001", "b-000001"})}
