@@ -1,38 +1,205 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Every ER stage here is compiled from the SAME dual-dialect expression
+builders (zentity_spark/dialect.py + plans/compiler.py), so the Spark query
+and the DuckDB oracle agree by construction — the oracle is still a real
+gate because the two engines execute the SQL independently.  The clustering
+stage, which Spark runs as iterative large-star/small-star CC
+(operators/cluster.py), is oracled by a DuckDB recursive-CTE transitive
+closure (SURVEY.md §3c).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from zentity_spark import dialect as D
+from zentity_spark.model import Model
+from zentity_spark.pipeline import ResolutionJob
+from zentity_spark.synth import corpus_dir_for_sf_dir
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_MODEL_PATH = os.path.join(_REPO, "fixtures", "model_person.json")
+# the driver compares at sf=0.01: oracle SQL is static, so it pins that tier
+_ORACLE_CORPUS = os.path.join(_REPO, "fixtures", "sf0.01", "docs_spans.parquet")
+
+SEED_DOC = "a-000000"
+SEED_MAX_HOPS = 2
+
+
+def _model() -> Model:
+    with open(_MODEL_PATH) as f:
+        return Model.parse(f.read())
+
+
+def _job(spark: SparkSession, sf_dir: str) -> ResolutionJob:
+    corpus = corpus_dir_for_sf_dir(sf_dir)
+    docs = spark.read.parquet(os.path.join(corpus, "docs_spans.parquet"))
+    return ResolutionJob(spark, docs, _model())
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full batch resolution on the sf0.001-equivalent interleaved
+    corpus → (doc_id, entity_id, spans)."""
+    return _job(spark, "/root/testdata/sf0.001").clusters()
+
+
+# ---------------------------------------------------------------------------
+# ER stage queries (Spark side)
+# ---------------------------------------------------------------------------
+
+def _q_extract(spark, sf_dir):
+    return _job(spark, sf_dir).stage(
+        "SELECT doc_id, source, attr, field, value_norm FROM attrs_x "
+        "ORDER BY doc_id", upto="attrs_x")
+
+
+def _q_keys(spark, sf_dir):
+    return _job(spark, sf_dir).stage(
+        "SELECT doc_id, attr, key FROM keys_x", upto="keys_x")
+
+
+def _q_pairs(spark, sf_dir):
+    return _job(spark, sf_dir).stage(
+        "SELECT doc_id_a, doc_id_b, resolver FROM pairs_x", upto="pairs_x")
+
+
+def _q_edges(spark, sf_dir):
+    return _job(spark, sf_dir).stage(
+        "SELECT doc_id_a, doc_id_b, resolver FROM match_edges_x")
+
+
+def _q_clusters(spark, sf_dir):
+    return _job(spark, sf_dir).clusters().select("doc_id", "entity_id")
+
+
+def _q_cluster_sizes(spark, sf_dir):
+    return (_job(spark, sf_dir).clusters()
+            .groupBy("entity_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .where(F.col("n_docs") > 1))
+
+
+def _q_seeded(spark, sf_dir):
+    job = _job(spark, sf_dir)
+    out = job.resolve_seeded([SEED_DOC], max_hops=SEED_MAX_HOPS)
+    return out.select("doc_id", F.col("hop").cast("int").alias("hop"))
+
+
+def _q_media(spark, sf_dir):
+    corpus = corpus_dir_for_sf_dir(sf_dir)
+    docs = spark.read.parquet(os.path.join(corpus, "docs_spans.parquet"))
+    return docs.select(
+        "doc_id",
+        F.expr("size(filter(spans, s -> s.kind = 'media'))")
+        .cast("int").alias("n_media"),
+        F.expr("size(filter(spans, s -> s.kind = 'text'))")
+        .cast("int").alias("n_text"),
+        F.expr("aggregate(spans, cast(-1 as int), "
+               "(acc, s) -> greatest(acc, s.offset))")
+        .cast("int").alias("max_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB side) — same compiled chain, DuckDB dialect
+# ---------------------------------------------------------------------------
+
+def _plan():
+    from zentity_spark.pipeline import DEFAULT_SCOPE
+    from zentity_spark.plans.compiler import compile_model
+    return compile_model(_model(), DEFAULT_SCOPE)
+
+def _rel() -> str:
+    return f"read_parquet('{_ORACLE_CORPUS}')"
+
+
+def _oracle_stage(select: str, upto: str | None = None) -> str:
+    return _plan().sql(D.DUCKDB, _rel(), select, upto=upto)
+
+
+_CC_EXTRA = [
+    ("und_e", "SELECT doc_id_a AS a, doc_id_b AS b FROM match_edges_x "
+              "UNION SELECT doc_id_b, doc_id_a FROM match_edges_x"),
+    ("reach", "SELECT a, b FROM und_e UNION "
+              "SELECT r.a, e.b FROM reach r JOIN und_e e ON e.a = r.b "
+              "WHERE e.b <> r.a"),
+    ("comp", "SELECT a AS doc_id, least(min(b), a) AS entity_id "
+             "FROM reach GROUP BY a"),
+    ("labels", "SELECT d.doc_id, coalesce(c.entity_id, d.doc_id) AS entity_id "
+               "FROM (SELECT doc_id FROM {rel}) d "
+               "LEFT JOIN comp c USING (doc_id)"),
+]
+
+
+def _oracle_clusters(select: str) -> str:
+    extra = [(n, s.format(rel=_rel())) for n, s in _CC_EXTRA]
+    return _plan().sql(D.DUCKDB, _rel(), select, extra=extra, recursive=True)
+
+
+def _oracle_seeded() -> str:
+    extra = [
+        ("und_e", _CC_EXTRA[0][1]),
+        ("reach_h", f"SELECT '{SEED_DOC}' AS doc_id, 0 AS hop "
+                    "UNION "
+                    "SELECT e.b, r.hop + 1 FROM reach_h r "
+                    "JOIN und_e e ON e.a = r.doc_id "
+                    f"WHERE r.hop < {SEED_MAX_HOPS}"),
+    ]
+    return _plan().sql(
+        D.DUCKDB, _rel(),
+        "SELECT doc_id, CAST(min(hop) AS INTEGER) AS hop "
+        "FROM reach_h GROUP BY doc_id",
+        extra=extra, recursive=True)
+
+
+def _oracle_media() -> str:
+    return (
+        "SELECT doc_id, "
+        "CAST(len(list_filter(spans, s -> s.kind = 'media')) AS INTEGER) AS n_media, "
+        "CAST(len(list_filter(spans, s -> s.kind = 'text')) AS INTEGER) AS n_text, "
+        "CAST(list_max(list_transform(spans, s -> s.offset)) AS INTEGER) AS max_offset "
+        f"FROM {_rel()}"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "er_extract_attributes": _q_extract,
+        "er_blocking_keys": _q_keys,
+        "er_candidate_pairs": _q_pairs,
+        "er_match_edges": _q_edges,
+        "er_clusters": _q_clusters,
+        "er_cluster_sizes": _q_cluster_sizes,
+        "er_seeded_hops": _q_seeded,
+        "er_media_spans": _q_media,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "er_extract_attributes": _oracle_stage(
+            "SELECT doc_id, source, attr, field, value_norm FROM attrs_x "
+            "ORDER BY doc_id", upto="attrs_x"),
+        "er_blocking_keys": _oracle_stage(
+            "SELECT doc_id, attr, key FROM keys_x", upto="keys_x"),
+        "er_candidate_pairs": _oracle_stage(
+            "SELECT doc_id_a, doc_id_b, resolver FROM pairs_x", upto="pairs_x"),
+        "er_match_edges": _oracle_stage(
+            "SELECT doc_id_a, doc_id_b, resolver FROM match_edges_x"),
+        "er_clusters": _oracle_clusters(
+            "SELECT doc_id, entity_id FROM labels"),
+        "er_cluster_sizes": _oracle_clusters(
+            "SELECT entity_id, CAST(count(*) AS BIGINT) AS n_docs FROM labels "
+            "GROUP BY entity_id HAVING count(*) > 1"),
+        "er_seeded_hops": _oracle_seeded(),
+        "er_media_spans": _oracle_media(),
+    }

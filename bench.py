@@ -1,0 +1,89 @@
+"""Benchmark harness: runs the headline ER queries on the sf-equivalent
+interleaved corpus and prints ONE JSON line for the driver
+(BENCH_r{N}.json).
+
+Env:
+  SPARK_GRAFT_SF_DIR  driver sf dir (default /root/testdata/sf0.1) — mapped
+                      to the same-tier fixture corpus (FIXTURES.md §5)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  BENCH_SHUFFLE       shuffle partitions (default 4*cpus)
+
+The flagship metric is end-to-end resolution wall time (extract → block →
+pair → verify → cluster → count) and derived docs/sec; per-stage timings in
+"queries".  The two-parallelism scaling protocol (BASELINE.md) runs this
+script at SPARK_GRAFT_CPUS=8 and 32 via scripts/scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = int(os.environ.get("BENCH_SHUFFLE", str(4 * cpus)))
+
+    from zentity_spark.model import Model
+    from zentity_spark.pipeline import ResolutionJob
+    from zentity_spark.session import get_spark
+    from zentity_spark.synth import corpus_dir_for_sf_dir
+
+    corpus = corpus_dir_for_sf_dir(sf_dir)  # generates on first call (cached)
+    spark = get_spark(master=f"local[{cpus}]", app="zentity_bench",
+                      shuffle_partitions=shuffle,
+                      extra={"spark.driver.memory":
+                             os.environ.get("ZENTITY_DRIVER_MEM", "32g")})
+
+    docs = spark.read.parquet(os.path.join(corpus, "docs_spans.parquet"))
+    n_docs = docs.count()
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "fixtures", "model_person.json")) as f:
+        model = Model.parse(f.read())
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    job = ResolutionJob(spark, docs, model)
+    timed("extract_attributes", lambda: job.attrs().count())
+    timed("blocking_keys", lambda: job.keys().count())
+    timed("candidate_pairs", lambda: job.candidate_pairs().count())
+    edges = job.match_edges()
+    timed("match_edges", lambda: edges.cache().count())
+    timed("connected_components", lambda: job.clusters(edges).count())
+
+    # flagship: one cold end-to-end pass (no reuse of the cached edges)
+    job2 = ResolutionJob(spark, docs, model)
+    t0 = time.time()
+    n_out = job2.clusters().count()
+    e2e = time.time() - t0
+    timings["e2e_resolution"] = round(e2e, 3)
+    edges.unpersist()
+
+    assert n_out == n_docs, f"output rows {n_out} != input docs {n_docs}"
+
+    print(json.dumps({
+        "metric": "e2e_resolution_sec",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / e2e, 1),
+        "cpus": cpus,
+        "shuffle_partitions": shuffle,
+    }))
+
+
+if __name__ == "__main__":
+    main()

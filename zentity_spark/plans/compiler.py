@@ -423,17 +423,24 @@ class CompiledPlan:
         return out
 
     def sql(self, dialect: str, docs_rel: str, select: str,
-            upto: str | None = None) -> str:
+            upto: str | None = None, extra: list | None = None,
+            recursive: bool = False) -> str:
         """WITH <ctes...> <select>; ``upto`` truncates the chain (the final
-        select may only reference CTEs up to that name)."""
+        select may only reference CTEs up to that name).  ``extra`` appends
+        additional ``(name, sql)`` CTEs after the compiled chain (e.g. the
+        DuckDB recursive-CTE clustering oracle — SURVEY.md §3c); ``recursive``
+        renders ``WITH RECURSIVE`` (DuckDB oracles only; the Spark side runs
+        iterative CC in operators/cluster.py instead)."""
         ctes = self.ctes(dialect, docs_rel)
         if upto is not None:
             idx = [i for i, (n, _) in enumerate(ctes) if n == upto]
             if not idx:
                 raise KeyError(upto)
             ctes = ctes[: idx[0] + 1]
+        ctes = ctes + list(extra or [])
         body = ",\n".join(f"{n} AS ({s})" for n, s in ctes)
-        return f"WITH {body}\n{select}"
+        kw = "WITH RECURSIVE" if recursive else "WITH"
+        return f"{kw} {body}\n{select}"
 
 
 def compile_model(model: Model, scope: Scope | None = None,
