@@ -94,6 +94,18 @@ def _q_seeded(spark, sf_dir):
     return out.select("doc_id", F.col("hop").cast("int").alias("hop"))
 
 
+def _q_explanations(spark, sf_dir):
+    return _job(spark, sf_dir).explanations()
+
+
+def _q_pair_scores(spark, sf_dir):
+    return _job(spark, sf_dir).pair_scores()
+
+
+def _q_doc_scores(spark, sf_dir):
+    return _job(spark, sf_dir).doc_scores()
+
+
 def _q_media(spark, sf_dir):
     corpus = corpus_dir_for_sf_dir(sf_dir)
     docs = spark.read.parquet(os.path.join(corpus, "docs_spans.parquet"))
@@ -181,6 +193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_sizes": _q_cluster_sizes,
         "er_seeded_hops": _q_seeded,
         "er_media_spans": _q_media,
+        "er_explanations": _q_explanations,
+        "er_pair_scores": _q_pair_scores,
+        "er_doc_scores": _q_doc_scores,
     }
 
 
@@ -202,4 +217,12 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY entity_id HAVING count(*) > 1"),
         "er_seeded_hops": _oracle_seeded(),
         "er_media_spans": _oracle_media(),
+        "er_explanations": _oracle_stage(
+            "SELECT doc_id_a, doc_id_b, resolver, attr, matcher, s "
+            "FROM explain_x", upto="explain_x"),
+        "er_pair_scores": _oracle_stage(
+            "SELECT doc_id_a, doc_id_b, score FROM pair_scores_x",
+            upto="pair_scores_x"),
+        "er_doc_scores": _oracle_stage(
+            "SELECT doc_id, score FROM doc_scores_x", upto="doc_scores_x"),
     }

@@ -1,0 +1,128 @@
+"""Scenario S7 (FIXTURES.md §6): identity-confidence scores and
+explanations, pinned to the Appendix-B formulas
+(`Job.java::calculateAttributeIdentityConfidenceScore` /
+`::calculateCompositeIdentityConfidenceScore`).
+"""
+
+import pytest
+
+from tests.conftest import make_docs
+from zentity_spark.pipeline import ResolutionJob
+from zentity_spark.plans.compiler import compile_model, Scope
+
+DEFAULT_SCOPE = Scope(exclude_resolvers=("r_name_city_weak",))
+
+
+@pytest.fixture(scope="module")
+def plan(model):
+    return compile_model(model, DEFAULT_SCOPE)
+
+
+def conflate(s_by_attr: dict, attrs) -> float:
+    """reference conflation, multiplied in the compiler's sorted-attr order
+    so floats agree bitwise."""
+    num = 1.0
+    den = 1.0
+    for a in sorted(attrs):
+        s = s_by_attr.get(a, 0.5)
+        num *= s
+        den *= 1.0 - s
+    return num / (num + den)
+
+
+# --- identity scores (s = 0.5 + (attr_score - 0.5) * q_matcher * q_field) ---
+
+@pytest.mark.parametrize("attr,matcher,expect", [
+    ("name", "exact", 0.5 + 0.35 * 1.0 * 0.95),      # 0.8325
+    ("name", "phonetic", 0.5 + 0.35 * 0.8 * 0.7),    # 0.696
+    ("name", "fuzzy", 0.5 + 0.35 * 0.97 * 0.9),      # 0.80555
+    ("dob", "dob_win", 0.5 + 0.45 * 0.9 * 1.0),      # 0.905
+    ("phone", "exact", 0.99),
+    ("email", "exact", 0.99),
+])
+def test_identity_scores(plan, attr, matcher, expect):
+    assert plan.identity_score(attr, matcher) == pytest.approx(expect, rel=0, abs=0)
+
+
+def test_conflation_identity_and_dominance(plan):
+    # s=0.5 is the identity element; 1.0 dominates
+    assert conflate({"a": 0.5}, ["a"]) == 0.5
+    assert conflate({"a": 1.0, "b": 0.7}, ["a", "b"]) == 1.0
+    assert conflate({"a": 0.0, "b": 0.7}, ["a", "b"]) == 0.0
+
+
+# --- S7: pinned pair/doc scores + explanation rows on a 3-doc corpus ---
+
+S7_SPEC = [
+    ("a-000001", [("full_name", "tessa brook"), ("birth_date", "1984-03-02"),
+                  ("tel", "15550001111")]),
+    # same name (exact+phonetic+fuzzy all fire), dob +1d → r_name_dob
+    ("b-000001", [("full_name", "tessa brook"), ("birth_date", "1984-03-03")]),
+    # unrelated
+    ("c-000001", [("full_name", "hollis vant"), ("tel", "15559998888")]),
+]
+
+
+@pytest.fixture(scope="module")
+def s7_job(spark, model):
+    return ResolutionJob(spark, make_docs(spark, S7_SPEC), model)
+
+
+def test_s7_explanation_rows(s7_job):
+    rows = {(r["doc_id_a"], r["doc_id_b"], r["resolver"], r["attr"], r["matcher"])
+            for r in s7_job.explanations().collect()}
+    assert rows == {
+        ("a-000001", "b-000001", "r_name_dob", "name", "exact"),
+        ("a-000001", "b-000001", "r_name_dob", "name", "phonetic"),
+        ("a-000001", "b-000001", "r_name_dob", "name", "fuzzy"),
+        ("a-000001", "b-000001", "r_name_dob", "dob", "dob_win"),
+    }
+
+
+def test_s7_pair_score_pinned(s7_job, plan):
+    rows = s7_job.pair_scores().collect()
+    assert len(rows) == 1
+    got = rows[0]
+    assert (got["doc_id_a"], got["doc_id_b"]) == ("a-000001", "b-000001")
+    expect = conflate({"name": 0.8325, "dob": 0.905}, plan.scored_attrs())
+    assert got["score"] == pytest.approx(expect, rel=1e-12)
+    assert 0.97 < got["score"] < 0.99
+
+
+def test_s7_doc_scores(s7_job, plan):
+    got = {r["doc_id"]: r["score"] for r in s7_job.doc_scores().collect()}
+    expect = conflate({"name": 0.8325, "dob": 0.905}, plan.scored_attrs())
+    assert got == {"a-000001": pytest.approx(expect),
+                   "b-000001": pytest.approx(expect)}
+
+
+def test_s7_explanation_structs(s7_job):
+    rows = {r["doc_id"]: r["explanation"]
+            for r in s7_job.explanation_structs().collect()}
+    assert set(rows) == {"a-000001", "b-000001"}
+    a = rows["a-000001"]
+    assert len(a) == 4
+    assert {e["matcher"] for e in a} == {"exact", "phonetic", "fuzzy", "dob_win"}
+    assert all(e["other_doc"] == "b-000001" for e in a)
+
+
+def test_missing_attr_score_contributes_nothing(spark):
+    """absent attr score → no contribution (Appendix B): a model whose only
+    matched attribute has no score yields the 0.5 identity."""
+    from zentity_spark.model import Model
+    m = Model.parse("""
+    {
+      "attributes": {"code": {"type": "string"}},
+      "resolvers": {"r": {"attributes": ["code"]}},
+      "matchers": {"x": {"clause": {"term": {"{{ field }}": "{{ value }}"}}}},
+      "indices": {"a": {"fields": {"code": {"attribute": "code", "matcher": "x"}}}}
+    }
+    """)
+    docs = make_docs(spark, [
+        ("a-000001", [("code", "Z9")]),
+        ("a-000002", [("code", "Z9")]),
+    ])
+    job = ResolutionJob(spark, docs, m, scope=Scope())
+    rows = job.pair_scores().collect()
+    assert len(rows) == 1
+    assert rows[0]["score"] == 0.5

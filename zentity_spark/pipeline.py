@@ -57,7 +57,40 @@ class ResolutionJob:
 
     def match_edges(self) -> DataFrame:
         return self.stage(
-            "SELECT doc_id_a, doc_id_b, resolver FROM match_edges_x")
+            "SELECT doc_id_a, doc_id_b, resolver FROM match_edges_x",
+            upto="match_edges_x")
+
+    def explanations(self) -> DataFrame:
+        """exploded match lineage (pair, resolver, attribute, matcher, s) —
+        ≙ the `_explanation` matches array (SURVEY row 32)."""
+        return self.stage(
+            "SELECT doc_id_a, doc_id_b, resolver, attr, matcher, s "
+            "FROM explain_x", upto="explain_x")
+
+    def pair_scores(self) -> DataFrame:
+        return self.stage(
+            "SELECT doc_id_a, doc_id_b, score FROM pair_scores_x",
+            upto="pair_scores_x")
+
+    def doc_scores(self) -> DataFrame:
+        return self.stage(
+            "SELECT doc_id, score FROM doc_scores_x", upto="doc_scores_x")
+
+    def explanation_structs(self) -> DataFrame:
+        """per-doc nested explanation (≙ response `_explanation` payload,
+        Job.java response assembly ≈L1200-1500): array of
+        (resolver, attribute, matcher, other_doc, s) structs."""
+        ex = self.explanations()
+        both = ex.selectExpr(
+            "doc_id_a AS doc_id", "doc_id_b AS other_doc",
+            "resolver", "attr", "matcher", "s",
+        ).unionByName(ex.selectExpr(
+            "doc_id_b AS doc_id", "doc_id_a AS other_doc",
+            "resolver", "attr", "matcher", "s"))
+        return both.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list(F.struct(
+                "resolver", "attr", "matcher", "other_doc", "s"
+            ))).alias("explanation"))
 
     def clusters(self, edges: DataFrame | None = None) -> DataFrame:
         """(doc_id, entity_id, spans): every input doc labeled; docs in no

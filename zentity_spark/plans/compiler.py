@@ -376,22 +376,124 @@ class CompiledPlan:
                 f"FROM attrs_x GROUP BY doc_id, attr")
 
     def sql_edges_resolver(self, r, dialect: str) -> str:
+        """verified edges for one resolver, WITH per-(attribute, matcher)
+        match-flag lineage columns ``f_{i}_{j}`` (≙ ES named leaf queries +
+        ``matched_queries`` decoding, ``Job.java`` `_name` assembly ≈L380-430
+        & hit loop ≈L1050-1150, SURVEY row 19 — we never erase provenance, so
+        there is nothing to decode)."""
         joins = []
         conds = []
+        flags = []
         for i, a in enumerate(r.attributes):
             joins.append(
                 f" JOIN vals_x va{i} ON va{i}.doc_id = p.doc_id_a AND va{i}.attr = {_q(a)}"
                 f" JOIN vals_x vb{i} ON vb{i}.doc_id = p.doc_id_b AND vb{i}.attr = {_q(a)}")
-            conds.append(self._exists_pair(
-                f"va{i}.vlist", f"vb{i}.vlist",
-                lambda x, y, a=a: self.attr_pair_pred(a, x, y, dialect),
-                dialect))
+            m_flags = []
+            for j, (mname, m, _fq) in enumerate(self.attr_matchers(a)):
+                fcol = f"f_{i}_{j}"
+                m_flags.append(fcol)
+                flags.append(
+                    self._exists_pair(
+                        f"va{i}.vlist", f"vb{i}.vlist",
+                        lambda x, y, m=m: self.matcher_pred(m, x, y, dialect),
+                        dialect) + f" AS {fcol}")
+            conds.append("(" + " OR ".join(m_flags) + ")")
         return (
-            f"SELECT p.doc_id_a, p.doc_id_b, {_q(r.name)} AS resolver "
-            f"FROM (SELECT DISTINCT doc_id_a, doc_id_b FROM pairs_x "
+            "SELECT * FROM ("
+            f"SELECT p.doc_id_a, p.doc_id_b, {_q(r.name)} AS resolver, "
+            + ", ".join(flags)
+            + f" FROM (SELECT DISTINCT doc_id_a, doc_id_b FROM pairs_x "
             f"      WHERE resolver = {_q(r.name)}) p"
             + "".join(joins)
-            + " WHERE " + " AND ".join(conds)
+            + ") efq WHERE " + " AND ".join(conds)
+        )
+
+    # ---------- scoring & explanation (SURVEY rows 26-27, 32; Appendix B) ----------
+
+    def identity_score(self, attr: str, matcher_name: str) -> float | None:
+        """attribute identity confidence
+        ``s = 0.5 + (attr_score − 0.5) · q_matcher · q_field``; missing
+        qualities ≙ 1.0, missing attr_score → no contribution (None).
+        Precomputed at plan time, ≙ the reference's memoized
+        ``Job.java::calculateAttributeIdentityConfidenceScore`` cache
+        (≈L100-150) — the domain is tiny, so it compiles to literals."""
+        a = self.model.attributes[attr]
+        if a.score is None:
+            return None
+        m = self.model.matchers[matcher_name]
+        q_m = m.quality if m.quality is not None else 1.0
+        q_f = 1.0
+        for mn, _m, fq in self.attr_matchers(attr):
+            if mn == matcher_name:
+                q_f = fq
+        return 0.5 + (a.score - 0.5) * q_m * q_f
+
+    def scored_attrs(self):
+        """sorted attribute names referenced by any active resolver."""
+        return sorted({a for r in self.active_resolvers() for a in r.attributes})
+
+    def sql_explain(self, dialect: str) -> str:
+        """exploded lineage rows (≙ `_explanation` matches array, Job.java
+        explanation block ≈L1050-1200): one row per (pair, resolver,
+        attribute, matcher) that matched, with the identity score s."""
+        parts = []
+        for r in self.active_resolvers():
+            for i, a in enumerate(r.attributes):
+                for j, (mname, _m, _fq) in enumerate(self.attr_matchers(a)):
+                    s = self.identity_score(a, mname)
+                    # CAST, not a bare literal: Spark parses bare decimals as
+                    # DECIMAL(p,s) and the conflation would run in decimal math
+                    s_sql = ("CAST(NULL AS DOUBLE)" if s is None
+                             else f"CAST({s!r} AS DOUBLE)")
+                    parts.append(
+                        f"SELECT doc_id_a, doc_id_b, {_q(r.name)} AS resolver, "
+                        f"{_q(a)} AS attr, {_q(mname)} AS matcher, "
+                        f"{s_sql} AS s FROM edges_{r.name} WHERE f_{i}_{j}")
+        if not parts:
+            return ("SELECT '' AS doc_id_a, '' AS doc_id_b, '' AS resolver, "
+                    "'' AS attr, '' AS matcher, CAST(NULL AS DOUBLE) AS s "
+                    "WHERE 1=0")
+        return " UNION ALL ".join(parts)
+
+    def _conflation(self, s_cols: list) -> str:
+        """composite identity confidence (Appendix B):
+        ``S = Πsᵢ / (Πsᵢ + Π(1−sᵢ))`` with missing attributes at the 0.5
+        identity.  Rendered as an explicit product chain so both dialects
+        compute bit-identical doubles (no exp/log re-association)."""
+        num = " * ".join(f"coalesce({c}, 0.5)" for c in s_cols)
+        den = " * ".join(f"(1.0 - coalesce({c}, 0.5))" for c in s_cols)
+        return f"(({num}) / (({num}) + ({den})))"
+
+    def sql_pair_scores(self, dialect: str) -> str:
+        """per matched pair: best s per attribute (max over matched matchers,
+        ≙ the reference scoring the attribute by its best-quality matched
+        matcher), conflated across attributes."""
+        attrs = self.scored_attrs()
+        pivots = [
+            f"max(CASE WHEN attr = {_q(a)} THEN s END) AS s_{i}"
+            for i, a in enumerate(attrs)]
+        conf = self._conflation([f"s_{i}" for i in range(len(attrs))])
+        return (
+            f"SELECT doc_id_a, doc_id_b, {conf} AS score FROM ("
+            f"SELECT doc_id_a, doc_id_b, {', '.join(pivots)} "
+            f"FROM explain_x GROUP BY doc_id_a, doc_id_b)"
+        )
+
+    def sql_doc_scores(self, dialect: str) -> str:
+        """per doc: conflation over its best per-attribute evidence across
+        all of its match edges (both directions) — the batch analog of the
+        reference's per-hit ``_score``."""
+        attrs = self.scored_attrs()
+        pivots = [
+            f"max(CASE WHEN attr = {_q(a)} THEN s END) AS s_{i}"
+            for i, a in enumerate(attrs)]
+        conf = self._conflation([f"s_{i}" for i in range(len(attrs))])
+        return (
+            f"SELECT doc_id, {conf} AS score FROM ("
+            f"SELECT doc_id, {', '.join(pivots)} FROM ("
+            "SELECT doc_id_a AS doc_id, attr, s FROM explain_x "
+            "UNION ALL SELECT doc_id_b AS doc_id, attr, s FROM explain_x"
+            f") GROUP BY doc_id)"
         )
 
     def sql_match_edges(self, dialect: str) -> str:
@@ -420,6 +522,9 @@ class CompiledPlan:
         for r in self.active_resolvers():
             out.append((f"edges_{r.name}", self.sql_edges_resolver(r, dialect)))
         out.append(("match_edges_x", self.sql_match_edges(dialect)))
+        out.append(("explain_x", self.sql_explain(dialect)))
+        out.append(("pair_scores_x", self.sql_pair_scores(dialect)))
+        out.append(("doc_scores_x", self.sql_doc_scores(dialect)))
         return out
 
     def sql(self, dialect: str, docs_rel: str, select: str,
