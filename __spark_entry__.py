@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from zentity_spark import dialect as D
+from zentity_spark import tdops
 from zentity_spark.model import Model
 from zentity_spark.pipeline import ResolutionJob
 from zentity_spark.synth import corpus_dir_for_sf_dir
@@ -183,8 +184,39 @@ def _oracle_media() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data ops (documents / embeddings testdata tables)
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64  # driver embeddings table dimension (all sf tiers)
+
+
+def _td_query(name):
+    def run(spark, sf_dir, name=name):
+        table = "embeddings" if name.startswith("td_embed") else "documents"
+        rel = f"parquet.`{os.path.join(sf_dir, table)}.parquet`"
+        if name == "td_embed_ann":
+            return spark.sql(tdops.sql_embed_ann(rel, D.SPARK, _EMB_DIM))
+        fn = {**tdops.DOC_OPS, **tdops.EMB_OPS}[name]
+        return spark.sql(fn(rel, D.SPARK))
+    return run
+
+
+def _td_oracles() -> dict[str, str]:
+    # driver pre-registers `documents` / `embeddings` views at sf0.01
+    out = {}
+    for name, fn in tdops.DOC_OPS.items():
+        out[name] = fn("documents", D.DUCKDB)
+    for name, fn in tdops.EMB_OPS.items():
+        out[name] = fn("embeddings", D.DUCKDB)
+    out["td_embed_ann"] = tdops.sql_embed_ann("embeddings", D.DUCKDB, _EMB_DIM)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    td = {name: _td_query(name)
+          for name in list(tdops.DOC_OPS) + list(tdops.EMB_OPS) + ["td_embed_ann"]}
+    return td | {
         "er_extract_attributes": _q_extract,
         "er_blocking_keys": _q_keys,
         "er_candidate_pairs": _q_pairs,
@@ -200,7 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    return _td_oracles() | {
         "er_extract_attributes": _oracle_stage(
             "SELECT doc_id, source, attr, field, value_norm FROM attrs_x "
             "ORDER BY doc_id", upto="attrs_x"),

@@ -25,8 +25,16 @@ def _spark_rows(df):
     return sorted(tuple(_norm(r[c]) for c in cols) for r in df.collect())
 
 
+TESTDATA_TABLES = ("region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "documents", "embeddings")
+
+
 def _duck_rows(sql):
     con = duckdb.connect()
+    # the driver pre-registers one view per testdata table
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     order = sorted(range(len(cols)), key=lambda i: cols[i])

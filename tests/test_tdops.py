@@ -1,0 +1,134 @@
+"""Semantic tests for the training-data ops (tdops.py) on planted inputs:
+exact dups detected, near-dups found by MinHash/SimHash/n-gram-Jaccard,
+identical vectors are each other's top neighbor, ANN agrees with brute
+force on high-cosine pairs.  (Cross-dialect agreement is covered separately
+by tests/test_oracles.py at sf0.01.)
+"""
+
+import duckdb
+import pytest
+
+from zentity_spark import dialect as D, tdops
+
+BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango")
+NEAR = BASE.replace("india", "indigo")          # one token changed
+OTHER = ("zulu yankee xray whiskey victor uniform tango sierra quebec "
+         "unique words entirely different order permuted randomly here now")
+
+DOCS = [
+    (1, BASE), (2, BASE),          # exact dups
+    (3, NEAR),                     # near-dup of 1/2
+    (4, OTHER),                    # unrelated
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", DOCS)
+    con.execute("""CREATE TABLE embs AS SELECT * FROM (VALUES
+        (1, [1.0, 0.0, 0.0]::FLOAT[]),
+        (2, [1.0, 0.0, 0.0]::FLOAT[]),
+        (3, [0.9, 0.1, 0.0]::FLOAT[]),
+        (4, [0.0, 0.0, 1.0]::FLOAT[])) t(vec_id, embedding)""")
+    return con
+
+
+def q(duck, sql):
+    return duck.execute(sql).fetchall()
+
+
+def test_exact_dupes(duck):
+    rows = {r[0]: r[2] for r in q(duck, tdops.sql_exact_dupes("docs", D.DUCKDB))}
+    assert rows[1] == 1 and rows[2] == 1         # dup group canonicalized
+    assert rows[3] == 3 and rows[4] == 4
+
+
+def test_ngram_jaccard_finds_near_dup(duck):
+    pairs = {(r[0], r[1]) for r in
+             q(duck, tdops.sql_ngram_jaccard_pairs("docs", D.DUCKDB))}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_finds_exact_dup(duck):
+    pairs = {(r[0], r[1]): r[2] for r in
+             q(duck, tdops.sql_minhash_pairs("docs", D.DUCKDB))}
+    assert pairs[(1, 2)] == 1.0                   # exact dup → jaccard 1
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_near_dup_small_hamming(duck):
+    sh = {r[0]: r[1] for r in q(duck, tdops.sql_simhash("docs", D.DUCKDB))}
+    assert sh[1] == sh[2]                         # identical text
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    ham14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham13 < ham14                          # near-dup closer than unrelated
+
+
+def test_fingerprint_shape(duck):
+    rows = q(duck, tdops.sql_fingerprint("docs", D.DUCKDB))
+    by_doc = {}
+    for doc_id, rank, fp in rows:
+        by_doc.setdefault(doc_id, []).append((rank, fp))
+    assert all(len(v) <= tdops.FP_K for v in by_doc.values())
+    assert sorted(by_doc[1]) == sorted(by_doc[2])  # identical docs → same sketch
+
+
+def test_text_stats_and_quality(duck):
+    stats = {r[0]: r for r in q(duck, tdops.sql_text_stats("docs", D.DUCKDB))}
+    assert stats[1][2] == 20                      # n_tokens
+    qual = {r[0]: r for r in q(duck, tdops.sql_text_quality("docs", D.DUCKDB))}
+    assert qual[1][3] == 0.0                      # all tokens unique
+
+
+def test_lang_id(duck):
+    con = duckdb.connect()
+    con.execute("""CREATE TABLE d2 (doc_id BIGINT, text VARCHAR);
+        INSERT INTO d2 VALUES
+        (1, 'the cat is on the mat and a dog'),
+        (2, 'der hund ist ein tier und die katze'),
+        (3, 'le chat est un animal et la maison')""")
+    rows = {r[0]: r[1] for r in q(con, tdops.sql_lang_id("d2", D.DUCKDB))}
+    assert rows == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_embed_topk_identical_vectors(duck):
+    rows = q(duck, tdops.sql_embed_topk("embs", D.DUCKDB))
+    top1 = {r[0]: r[1] for r in rows if r[3] == 1}
+    assert top1[1] == 2 and top1[2] == 1          # identical vectors first
+    cos = {(r[0], r[1]): r[2] for r in rows}
+    assert cos[(1, 2)] == pytest.approx(1.0)
+    assert cos[(1, 4)] == pytest.approx(0.0)
+
+
+def test_embed_ann_agrees_with_bruteforce_high_cos(duck):
+    ann = {(r[0], r[1]) for r in
+           q(duck, tdops.sql_embed_ann("embs", D.DUCKDB, 3))}
+    assert (1, 2) in ann and (1, 3) in ann        # same-bucket high-cos pairs
+    bf = {(r[0], r[1]): r[2] for r in q(duck, tdops.sql_embed_topk("embs", D.DUCKDB))}
+    for a, b in ann:
+        assert bf[(a, b)] >= tdops.ANN_COS_TAU
+
+
+def test_spark_td_queries_run(spark):
+    """Spark render of every op runs and returns the same row count as
+    DuckDB on the sf0.001 testdata (full value agreement at sf0.01 is in
+    test_oracles.py)."""
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for name in list(tdops.DOC_OPS) + ["td_embed_topk", "td_embed_ann"]:
+        table = "embeddings" if name.startswith("td_embed") else "documents"
+        srel = f"parquet.`{sf}/{table}.parquet`"
+        drel = f"read_parquet('{sf}/{table}.parquet')"
+        if name == "td_embed_ann":
+            s_sql = tdops.sql_embed_ann(srel, D.SPARK, 64)
+            d_sql = tdops.sql_embed_ann(drel, D.DUCKDB, 64)
+        else:
+            fn = {**tdops.DOC_OPS, **tdops.EMB_OPS}[name]
+            s_sql, d_sql = fn(srel, D.SPARK), fn(drel, D.DUCKDB)
+        n_s = spark.sql(s_sql).count()
+        n_d = con.execute(f"SELECT count(*) FROM ({d_sql})").fetchone()[0]
+        assert n_s == n_d, f"{name}: spark {n_s} != duckdb {n_d}"

@@ -153,6 +153,36 @@ def md5_int64(c: str, dialect: str) -> str:
     return f"CAST(conv(substr(md5({c}), 1, 15), 16, 10) AS BIGINT)"
 
 
+def shiftleft(e: str, n: str, dialect: str) -> str:
+    if dialect == DUCKDB:
+        return f"({e} << {n})"
+    return f"shiftleft({e}, {n})"
+
+
+def shiftright(e: str, n: str, dialect: str) -> str:
+    if dialect == DUCKDB:
+        return f"({e} >> {n})"
+    return f"shiftright({e}, {n})"
+
+
+def bxor(a: str, b: str, dialect: str) -> str:
+    """bitwise xor: DuckDB's ^ is exponentiation — use xor()."""
+    if dialect == DUCKDB:
+        return f"xor({a}, {b})"
+    return f"({a} ^ {b})"
+
+
+def sum_bigint(e: str, dialect: str) -> str:
+    """SUM that stays BIGINT (DuckDB widens integer SUM to HUGEINT)."""
+    return f"CAST(sum({e}) AS BIGINT)"
+
+
+def regexp_count(c: str, pat: str, dialect: str) -> str:
+    if dialect == DUCKDB:
+        return f"len(regexp_extract_all({c}, '{pat}'))"
+    return f"size(regexp_extract_all({c}, '{pat}', 0))"
+
+
 def lev_within_auto(a: str, b: str, dialect: str) -> str:
     """ES fuzziness:auto parity (SURVEY §3 row 9): allowed edits k by length
     of the shorter operand: <3 → 0, 3-5 → 1, ≥6 → 2."""

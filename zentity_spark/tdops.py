@@ -1,0 +1,385 @@
+"""Training-data pipeline operators over the driver's ``documents`` and
+``embeddings`` tables: deduplication (exact, MinHash+LSH, SimHash, n-gram
+Jaccard), text analysis (stats, quality, language-ID, fingerprinting), and
+embedding similarity search (brute-force cosine top-k baseline + sign-LSH
+bucketed ANN as the scale path).
+
+Every op is a dual-dialect SQL builder (like plans/compiler.py): the Spark
+query and the DuckDB oracle render from the same code, and all hashing goes
+through ``dialect.md5_int64`` so the two engines agree bit-for-bit.  All
+floating-point outputs are either ratios of integers or products/sums
+rendered in a fixed fold order, so doubles agree bitwise too.
+
+Scale notes (10^12-doc thinking, SURVEY §5.3 applies):
+  * MinHash/SimHash candidate generation is LSH-bucketed — candidate pairs
+    come from equi-joins on band/chunk keys (shuffle on key), never from a
+    cross join.  Only the brute-force cosine top-k baseline is quadratic,
+    and it exists as the small-scale oracle for the ANN path.
+  * Shingle explosion is bounded: DISTINCT shingles per doc, K hash reps.
+  * All expressions are native SQL (JVM codegen on Spark) — no Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from zentity_spark import dialect as D
+
+MINHASH_K = 16          # minhash permutations
+MINHASH_BANDS = 8       # → rows-per-band r = K / BANDS = 2
+JACCARD_TAU = 0.2       # verify threshold for near-dup pairs
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4      # 8-bit chunks for LSH blocking
+SIMHASH_MAXHAM = 6
+FP_K = 4                # bottom-k fingerprint size
+TOPK = 5                # neighbors per vector
+ANN_BITS = 12           # sign-LSH hyperplanes
+ANN_COS_TAU = 0.0       # report all in-bucket pairs above this cosine
+
+STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on", "for", "with")
+LANG_STOPS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+}
+
+
+def _sty(dialect: str) -> str:
+    return "VARCHAR" if dialect == D.DUCKDB else "STRING"
+
+
+def _toks(c: str, dialect: str) -> str:
+    return D.tokens(c, dialect)
+
+
+def _shingle_list(tk: str, dialect: str) -> str:
+    """3-token shingles of a token array."""
+    if dialect == D.DUCKDB:
+        elem = lambda i: f"{tk}[CAST({i} AS INTEGER)]"
+        return (f"CASE WHEN len({tk}) < 3 THEN [] ELSE "
+                f"list_transform(range(1, len({tk}) - 1), i -> "
+                f"{elem('i')} || ' ' || {elem('i + 1')} || ' ' || {elem('i + 2')}) END")
+    elem = lambda i: f"element_at({tk}, {i})"
+    return (f"CASE WHEN size({tk}) < 3 THEN array() ELSE "
+            f"transform(sequence(1, size({tk}) - 2), i -> "
+            f"concat({elem('i')}, ' ', {elem('i + 1')}, ' ', {elem('i + 2')})) END")
+
+
+def _contains(lst: tuple, item: str, dialect: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in lst)
+    if dialect == D.DUCKDB:
+        return f"list_contains([{lits}], {item})"
+    return f"array_contains(array({lits}), {item})"
+
+
+def _count_in(tk: str, words: tuple, dialect: str) -> str:
+    if dialect == D.DUCKDB:
+        return f"len(list_filter({tk}, w -> {_contains(words, 'w', dialect)}))"
+    return f"size(filter({tk}, w -> {_contains(words, 'w', dialect)}))"
+
+
+def _seq(n: int, dialect: str) -> str:
+    """0..n-1 as a one-column relation named j."""
+    if dialect == D.DUCKDB:
+        return f"SELECT unnest(range(0, {n})) AS j"
+    return f"SELECT explode(sequence(0, {n - 1})) AS j"
+
+
+def _explode(list_sql: str, src: str, alias: str, dialect: str) -> str:
+    ex = "unnest" if dialect == D.DUCKDB else "explode"
+    return f"SELECT doc_id, {ex}({list_sql}) AS {alias} FROM {src}"
+
+
+def _with(ctes: list, select: str) -> str:
+    body = ",\n".join(f"{n} AS ({s})" for n, s in ctes)
+    return f"WITH {body}\n{select}" if ctes else select
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def sql_text_stats(rel: str, dialect: str) -> str:
+    """per-doc token/char counts + a BPE-ish subtoken count (runs of
+    lowercase letters or digits, the regex stand-in for a learned-merge
+    tokenizer)."""
+    tk = _toks("text", dialect)
+    size = "len" if dialect == D.DUCKDB else "size"
+    dist = "list_distinct" if dialect == D.DUCKDB else "array_distinct"
+    return (
+        f"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        f"CAST({size}({tk}) AS BIGINT) AS n_tokens, "
+        f"CAST({size}({dist}({tk})) AS BIGINT) AS n_uniq_tokens, "
+        f"CAST({D.regexp_count('text', '[a-z]+|[0-9]+', dialect)} AS BIGINT) AS n_subtokens "
+        f"FROM {rel}"
+    )
+
+
+def sql_text_quality(rel: str, dialect: str) -> str:
+    """quality signals: stopword ratio, mean token length, repetition ratio
+    (1 - uniq/total).  All ratios of integers → bit-identical doubles."""
+    tk = _toks("text", dialect)
+    size = "len" if dialect == D.DUCKDB else "size"
+    dist = "list_distinct" if dialect == D.DUCKDB else "array_distinct"
+    n = f"CAST({size}({tk}) AS DOUBLE)"
+    nstop = f"CAST({_count_in(tk, STOPWORDS, dialect)} AS DOUBLE)"
+    nuniq = f"CAST({size}({dist}({tk})) AS DOUBLE)"
+    return (
+        f"SELECT doc_id, "
+        f"({nstop} / {n}) AS stopword_ratio, "
+        f"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / {n}) AS mean_token_len, "
+        f"(1.0 - {nuniq} / {n}) AS repetition_ratio "
+        f"FROM {rel} WHERE {size}({tk}) > 0"
+    )
+
+
+def sql_lang_id(rel: str, dialect: str) -> str:
+    """n-gram-free heuristic language ID: stopword hit counts per language,
+    argmax with lexicographic tie-break."""
+    tk = _toks("text", dialect)
+    cs = {lang: _count_in(tk, words, dialect)
+          for lang, words in LANG_STOPS.items()}
+    return (
+        "SELECT doc_id, CASE "
+        f"WHEN c_en >= c_de AND c_en >= c_fr THEN 'en' "
+        f"WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS lang_pred, "
+        "CAST(c_en AS BIGINT) AS n_hits_en FROM ("
+        f"SELECT doc_id, {cs['en']} AS c_en, {cs['de']} AS c_de, "
+        f"{cs['fr']} AS c_fr FROM {rel})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def sql_exact_dupes(rel: str, dialect: str) -> str:
+    """exact dedup: hash-groupBy on md5(text); canonical = min doc_id of the
+    group (at scale: one shuffle on the hash, no pairs materialized)."""
+    return (
+        "SELECT doc_id, text_hash, "
+        "min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id FROM ("
+        f"SELECT doc_id, md5(text) AS text_hash FROM {rel})"
+    )
+
+
+def _shingle_ctes(rel: str, dialect: str) -> list:
+    tk = _toks("text", dialect)
+    return [
+        ("toks", f"SELECT doc_id, {tk} AS tk FROM {rel}"),
+        ("sh", "SELECT DISTINCT doc_id, shingle FROM ("
+               + _explode(_shingle_list("tk", dialect), "toks", "shingle", dialect)
+               + ")"),
+    ]
+
+
+def _jaccard_verify_sql(dialect: str) -> list:
+    """cand(a, b) + sh → verified pairs with exact shingle-set Jaccard."""
+    return [
+        ("nsh", "SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id"),
+        ("inter", "SELECT c.a, c.b, count(*) AS ninter FROM cand c "
+                  "JOIN sh sa ON sa.doc_id = c.a "
+                  "JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle "
+                  "GROUP BY c.a, c.b"),
+        ("verified",
+         "SELECT i.a AS doc_id_a, i.b AS doc_id_b, "
+         "(CAST(i.ninter AS DOUBLE) / CAST(na.n + nb.n - i.ninter AS DOUBLE)) AS jaccard "
+         "FROM inter i JOIN nsh na ON na.doc_id = i.a "
+         "JOIN nsh nb ON nb.doc_id = i.b"),
+    ]
+
+
+def sql_minhash_pairs(rel: str, dialect: str) -> str:
+    """MinHash + LSH near-dup pairs: K hash reps → bands → band-key
+    equi-join → exact-Jaccard verify ≥ tau.
+
+    The band key is an order-insensitive XOR of per-(rep, minhash) hashes,
+    so banding needs no ordered string-agg (portable + shuffle-friendly)."""
+    sty = _sty(dialect)
+    h = D.md5_int64(f"(shingle || '#' || CAST(j AS {sty}))", dialect)
+    bk = D.md5_int64(f"(CAST(j AS {sty}) || ':' || CAST(h AS {sty}))", dialect)
+    r = MINHASH_K // MINHASH_BANDS
+    ctes = _shingle_ctes(rel, dialect) + [
+        ("js", _seq(MINHASH_K, dialect)),
+        ("mh", f"SELECT doc_id, j, min({h}) AS h "
+               "FROM sh CROSS JOIN js GROUP BY doc_id, j"),
+        ("bands", f"SELECT doc_id, CAST(floor(j / {r}) AS INT) AS band, "
+                  f"bit_xor({bk}) AS band_key FROM mh GROUP BY doc_id, "
+                  f"CAST(floor(j / {r}) AS INT)"),
+        ("cand", "SELECT DISTINCT a.doc_id AS a, b.doc_id AS b "
+                 "FROM bands a JOIN bands b ON a.band = b.band "
+                 "AND a.band_key = b.band_key AND a.doc_id < b.doc_id"),
+    ] + _jaccard_verify_sql(dialect)
+    return _with(ctes, "SELECT doc_id_a, doc_id_b, jaccard FROM verified "
+                       f"WHERE jaccard >= {JACCARD_TAU!r}")
+
+
+def sql_ngram_jaccard_pairs(rel: str, dialect: str) -> str:
+    """n-gram Jaccard near-dup: candidates from any shared shingle (inverted
+    index join — the blocking key IS the shingle), verified ≥ tau.  Exact
+    recall for pairs above tau, unlike the MinHash probabilistic path."""
+    ctes = _shingle_ctes(rel, dialect) + [
+        ("cand", "SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b "
+                 "FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle "
+                 "AND sa.doc_id < sb.doc_id"),
+    ] + _jaccard_verify_sql(dialect)
+    return _with(ctes, "SELECT doc_id_a, doc_id_b, jaccard FROM verified "
+                       f"WHERE jaccard >= {JACCARD_TAU!r}")
+
+
+def _simhash_ctes(rel: str, dialect: str) -> list:
+    h = D.md5_int64("shingle", dialect)
+    bit = f"({D.shiftright('h', 'j', dialect)} & 1)"
+    w = D.shiftleft("CAST(1 AS BIGINT)", "j", dialect)
+    return _shingle_ctes(rel, dialect) + [
+        ("shh", f"SELECT doc_id, {h} AS h FROM sh"),
+        ("js", _seq(SIMHASH_BITS, dialect)),
+        ("bitsum", f"SELECT doc_id, j, "
+                   f"{D.sum_bigint(f'CASE WHEN {bit} = 1 THEN 1 ELSE -1 END', dialect)} AS s "
+                   "FROM shh CROSS JOIN js GROUP BY doc_id, j"),
+        ("simh", f"SELECT doc_id, "
+                 f"{D.sum_bigint(f'CASE WHEN s >= 0 THEN {w} ELSE 0 END', dialect)} "
+                 "AS simhash FROM bitsum GROUP BY doc_id"),
+    ]
+
+
+def sql_simhash(rel: str, dialect: str) -> str:
+    return _with(_simhash_ctes(rel, dialect),
+                 "SELECT doc_id, simhash FROM simh")
+
+
+def sql_simhash_pairs(rel: str, dialect: str) -> str:
+    """SimHash near-dup pairs: LSH block on 8-bit chunks of the signature
+    (a pair within hamming ≤ 6 of a 32-bit hash shares ≥1 exact chunk only
+    heuristically — chunking is the standard recall/cost trade), verify
+    hamming ≤ max."""
+    cw = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunk = f"({D.shiftright('simhash', f'({cw} * c)', dialect)} & {(1 << cw) - 1})"
+    ham = f"bit_count({D.bxor('a.simhash', 'b.simhash', dialect)})"
+    ctes = _simhash_ctes(rel, dialect) + [
+        ("cs", _seq(SIMHASH_CHUNKS, dialect).replace(" AS j", " AS c")),
+        ("chunks", f"SELECT doc_id, simhash, c, {chunk} AS chunk_val "
+                   "FROM simh CROSS JOIN cs"),
+        ("cand", "SELECT DISTINCT a.doc_id AS a, a.simhash, b.doc_id AS b, "
+                 "b.simhash AS simhash_b FROM chunks a JOIN chunks b "
+                 "ON a.c = b.c AND a.chunk_val = b.chunk_val "
+                 "AND a.doc_id < b.doc_id"),
+    ]
+    return _with(ctes,
+                 "SELECT a AS doc_id_a, b AS doc_id_b, CAST(hamming AS INT) AS hamming FROM ("
+                 f"SELECT DISTINCT a, b, bit_count({D.bxor('simhash', 'simhash_b', dialect)}) AS hamming "
+                 f"FROM cand) WHERE hamming <= {SIMHASH_MAXHAM}")
+
+
+def sql_fingerprint(rel: str, dialect: str) -> str:
+    """bottom-k document fingerprint (winnowing-style sketch): the k
+    smallest shingle hashes per doc, exploded as (doc_id, rank, fp)."""
+    h = D.md5_int64("shingle", dialect)
+    ctes = _shingle_ctes(rel, dialect) + [
+        ("shh", f"SELECT DISTINCT doc_id, {h} AS h FROM sh"),
+        ("ranked", "SELECT doc_id, h, row_number() OVER "
+                   "(PARTITION BY doc_id ORDER BY h) AS rn FROM shh"),
+    ]
+    return _with(ctes,
+                 f"SELECT doc_id, CAST(rn AS INT) AS rank, h AS fp "
+                 f"FROM ranked WHERE rn <= {FP_K}")
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+def _dot(ea: str, eb: str, dialect: str) -> str:
+    """double-precision dot product with a FIXED left-fold order so Spark
+    and DuckDB produce bit-identical doubles."""
+    if dialect == D.DUCKDB:
+        prods = (f"list_transform(range(1, len({ea}) + 1), i -> "
+                 f"CAST({ea}[CAST(i AS INTEGER)] AS DOUBLE) * "
+                 f"CAST({eb}[CAST(i AS INTEGER)] AS DOUBLE))")
+        return f"list_reduce({prods}, (x, y) -> x + y)"
+    return (f"aggregate(zip_with({ea}, {eb}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _norm_cte(rel: str, dialect: str):
+    return ("vecs", f"SELECT vec_id, embedding, "
+                    f"sqrt({_dot('embedding', 'embedding', dialect)}) AS nrm "
+                    f"FROM {rel}")
+
+
+def sql_embed_topk(rel: str, dialect: str) -> str:
+    """brute-force cosine top-k — the quadratic baseline/oracle.  The scale
+    path is sql_embed_ann below; this one exists to verify it."""
+    dot = _dot("a.embedding", "b.embedding", dialect)
+    ctes = [
+        _norm_cte(rel, dialect),
+        ("cos", f"SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+                f"({dot} / (a.nrm * b.nrm)) AS cosine "
+                "FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id"),
+        ("ranked", "SELECT vec_id, neighbor_id, cosine, row_number() OVER "
+                   "(PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) "
+                   "AS rn FROM cos"),
+    ]
+    return _with(ctes,
+                 f"SELECT vec_id, neighbor_id, cosine, CAST(rn AS INT) AS rank "
+                 f"FROM ranked WHERE rn <= {TOPK}")
+
+
+def _rademacher(bit: int, dim: int) -> list:
+    """deterministic ±1 hyperplane from md5 — same constants in both
+    dialect renders."""
+    out = []
+    for i in range(dim):
+        hx = hashlib.md5(f"ann/{bit}/{i}".encode()).hexdigest()
+        out.append(1.0 if int(hx[:2], 16) & 1 else -1.0)
+    return out
+
+
+def sql_embed_ann(rel: str, dialect: str, dim: int) -> str:
+    """sign-LSH bucketed ANN: 12 Rademacher hyperplanes → 12-bit code →
+    bucket equi-join → exact cosine verify.  Needs the embedding dim at
+    plan time (hyperplanes are literal arrays)."""
+    codes = []
+    for b in range(ANN_BITS):
+        r = _rademacher(b, dim)
+        lits = ", ".join(repr(v) for v in r)
+        arr = f"[{lits}]" if dialect == D.DUCKDB else f"array({lits})"
+        proj = _dot("embedding", f"{arr}", dialect)
+        w = 1 << b
+        codes.append(f"CASE WHEN ({proj}) >= 0 THEN {w} ELSE 0 END")
+    code = "CAST(" + " + ".join(codes) + " AS BIGINT)"
+    dot = _dot("a.embedding", "b.embedding", dialect)
+    ctes = [
+        _norm_cte(rel, dialect),
+        ("coded", f"SELECT vec_id, embedding, nrm, {code} AS bucket FROM vecs"),
+        ("cand", "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
+                 f"({dot} / (a.nrm * b.nrm)) AS cosine "
+                 "FROM coded a JOIN coded b ON a.bucket = b.bucket "
+                 "AND a.vec_id < b.vec_id"),
+    ]
+    return _with(ctes,
+                 "SELECT vec_id_a, vec_id_b, cosine FROM cand "
+                 f"WHERE cosine >= {ANN_COS_TAU!r}")
+
+
+# ---------------------------------------------------------------------------
+# registries
+# ---------------------------------------------------------------------------
+
+DOC_OPS = {
+    "td_text_stats": sql_text_stats,
+    "td_text_quality": sql_text_quality,
+    "td_lang_id": sql_lang_id,
+    "td_exact_dupes": sql_exact_dupes,
+    "td_minhash_pairs": sql_minhash_pairs,
+    "td_ngram_jaccard_pairs": sql_ngram_jaccard_pairs,
+    "td_simhash": sql_simhash,
+    "td_simhash_pairs": sql_simhash_pairs,
+    "td_fingerprint": sql_fingerprint,
+}
+
+EMB_OPS = {
+    "td_embed_topk": sql_embed_topk,
+    # td_embed_ann is dim-parameterized; wired explicitly in __spark_entry__
+}
