@@ -1,0 +1,184 @@
+"""Vectorized string-similarity pandas UDFs (Arrow-batched, SURVEY §5.3
+axis B / §8 R4: no per-row Python UDF dispatch — the batch loop below runs
+over *columns* of a padded codepoint matrix, so its trip count is the max
+string length, not the row count).
+
+``jaro_winkler_np`` is the engine implementation; ``jaro_winkler_py`` is
+the slow textbook oracle used only by property tests.  Both implement
+standard Jaro-Winkler with the conventional 0.7 boost threshold and
+4-char prefix cap — matching DuckDB's ``jaro_winkler_similarity`` so the
+DuckDB correctness oracles can exercise ``jaro_winkler`` matchers
+(tests/test_similarity.py pins the agreement).
+
+In the reference, fuzzy string comparison is delegated to Elasticsearch
+(`fuzziness` on match queries — SURVEY §3 row 9); Jaro-Winkler is our
+additional matcher kind for name-grade fields where edit distance
+over-penalizes transpositions.
+"""
+
+import numpy as np
+import pandas as pd
+
+WINKLER_P = 0.1
+WINKLER_BOOST_THRESHOLD = 0.7
+WINKLER_PREFIX_CAP = 4
+
+
+def _pad_codepoints(strs, max_len: int) -> np.ndarray:
+    """list[str] → (n, max_len) uint32 codepoint matrix, 0-padded."""
+    n = len(strs)
+    out = np.zeros((n, max_len), dtype=np.uint32)
+    for r, s in enumerate(strs):      # row fill is O(n) plain assignment;
+        if s:                         # all comparison math below is matrix ops
+            b = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            out[r, : len(b)] = b
+    return out
+
+
+def jaro_winkler_np(a_list, b_list) -> np.ndarray:
+    """batch Jaro-Winkler over two equal-length string sequences."""
+    n = len(a_list)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    a_list = ["" if x is None else x for x in a_list]
+    b_list = ["" if x is None else x for x in b_list]
+    la = np.array([len(s) for s in a_list], dtype=np.int64)
+    lb = np.array([len(s) for s in b_list], dtype=np.int64)
+    L = max(1, int(max(la.max(), lb.max())))
+    A = _pad_codepoints(a_list, L)
+    B = _pad_codepoints(b_list, L)
+
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+
+    b_used = np.zeros((n, L), dtype=bool)
+    a_match = np.zeros((n, L), dtype=bool)
+    m_count = np.zeros(n, dtype=np.int64)
+
+    idx = np.arange(L)
+    rows = np.arange(n)
+    for i in range(L):
+        valid_i = i < la
+        lo = np.maximum(i - window, 0)
+        hi = np.minimum(i + window, lb - 1)
+        # candidate j positions: in window, same char, not used yet
+        cand = (
+            (idx[None, :] >= lo[:, None])
+            & (idx[None, :] <= hi[:, None])
+            & (B == A[:, i][:, None])
+            & (B != 0)
+            & ~b_used
+            & valid_i[:, None]
+        )
+        has = cand.any(axis=1)
+        j = np.argmax(cand, axis=1)          # first available j per row
+        sel = rows[has]
+        b_used[sel, j[has]] = True
+        a_match[sel, i] = True
+        m_count[has] += 1
+
+    def _compact(mask, M):
+        """matched chars compacted left, preserving index order."""
+        out = np.zeros((n, L), dtype=np.uint32)
+        counts = np.cumsum(mask, axis=1) - 1
+        out[rows[:, None].repeat(L, 1)[mask], counts[mask]] = M[mask]
+        return out
+
+    # transpositions: a's matches in a-order vs b's matches in b-order
+    a_in_order = _compact(a_match, A)
+    b_in_order = _compact(b_used, B)
+    t = (a_in_order != b_in_order).sum(axis=1) // 2
+
+    m = m_count.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m / la + m / lb + (m - t) / np.maximum(m, 1)) / 3.0
+    # DuckDB convention (pinned by tests): any empty operand → 0.0
+    jaro = np.where(m_count > 0, jaro, 0.0)
+
+    # winkler boost: common prefix (≤4), applied above the 0.7 threshold
+    prefix_eq = (A[:, :WINKLER_PREFIX_CAP] == B[:, :WINKLER_PREFIX_CAP]) & (
+        A[:, :WINKLER_PREFIX_CAP] != 0)
+    ell = np.where(prefix_eq.all(axis=1),
+                   prefix_eq.sum(axis=1),
+                   np.argmin(prefix_eq, axis=1))
+    jw = np.where(jaro > WINKLER_BOOST_THRESHOLD,
+                  jaro + ell * WINKLER_P * (1.0 - jaro), jaro)
+    return jw
+
+
+def jaro_winkler_py(a: str, b: str) -> float:
+    """textbook scalar implementation — property-test oracle ONLY."""
+    a = a or ""
+    b = b or ""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0  # DuckDB convention, incl. both-empty
+    window = max(max(la, lb) // 2 - 1, 0)
+    b_used = [False] * lb
+    a_m, b_m = [], []
+    for i, ch in enumerate(a):
+        lo, hi = max(0, i - window), min(lb - 1, i + window)
+        for j in range(lo, hi + 1):
+            if not b_used[j] and b[j] == ch:
+                b_used[j] = True
+                a_m.append(ch)
+                break
+    for j, used in enumerate(b_used):
+        if used:
+            b_m.append(b[j])
+    m = len(a_m)
+    if m == 0:
+        return 0.0
+    # transpositions: a's matched chars in a-order vs b's in b-order
+    t = sum(1 for x, y in zip(a_m, b_m) if x != y) // 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    ell = 0
+    for x, y in zip(a[:WINKLER_PREFIX_CAP], b[:WINKLER_PREFIX_CAP]):
+        if x != y:
+            break
+        ell += 1
+    if jaro > WINKLER_BOOST_THRESHOLD:
+        return jaro + ell * WINKLER_P * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler_any_ge_np(a_lists, b_lists, thr) -> np.ndarray:
+    """per row: ∃ (x, y) ∈ a_list × b_list with JW(x, y) ≥ thr.
+
+    Cross pairs of ALL rows are flattened into one batch and scored in a
+    single vectorized call — multi-valued attribute semantics without a
+    Python UDF inside a SQL lambda (Spark forbids that)."""
+    flat_a, flat_b, owner = [], [], []
+    for r, (al, bl) in enumerate(zip(a_lists, b_lists)):
+        for x in al or ():
+            for y in bl or ():
+                flat_a.append(x)
+                flat_b.append(y)
+                owner.append(r)
+    out = np.zeros(len(a_lists), dtype=bool)
+    if flat_a:
+        sims = jaro_winkler_np(flat_a, flat_b)
+        thr_arr = np.asarray(thr, dtype=np.float64)[owner] if hasattr(
+            thr, "__len__") else float(thr)
+        hit = sims >= thr_arr
+        np.logical_or.at(out, np.asarray(owner), hit)
+    return out
+
+
+def register_similarity_udfs(spark) -> None:
+    """register the Arrow-batched similarity UDFs (idempotent per session):
+    ``jaro_winkler_sim(a, b) -> double`` and
+    ``jaro_winkler_any_ge(a_list, b_list, thr) -> boolean``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def jaro_winkler_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(jaro_winkler_np(a.tolist(), b.tolist()))
+
+    @pandas_udf("boolean")
+    def jaro_winkler_any_ge(a: pd.Series, b: pd.Series,
+                            thr: pd.Series) -> pd.Series:
+        return pd.Series(jaro_winkler_any_ge_np(
+            a.tolist(), b.tolist(), thr.to_numpy(dtype=np.float64)))
+
+    spark.udf.register("jaro_winkler_sim", jaro_winkler_sim)
+    spark.udf.register("jaro_winkler_any_ge", jaro_winkler_any_ge)

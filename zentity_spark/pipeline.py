@@ -36,6 +36,9 @@ class ResolutionJob:
         self.docs = docs
         self.plan: CompiledPlan = compile_model(
             model, scope or DEFAULT_SCOPE, block_cap)
+        if any(m.kind == "jaro_winkler" for m in model.matchers.values()):
+            from zentity_spark.functions.similarity import register_similarity_udfs
+            register_similarity_udfs(spark)
         self._view = "docs_" + uuid.uuid4().hex[:12]
         docs.createOrReplaceTempView(self._view)
 

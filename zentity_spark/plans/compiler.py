@@ -321,6 +321,22 @@ class CompiledPlan:
             preds.append(self.matcher_pred(m, va, vb, dialect))
         return "(" + " OR ".join(preds) + ")"
 
+    def matcher_flag(self, m, va_list: str, vb_list: str, dialect: str) -> str:
+        """∃-pair match flag over two value lists for one matcher.
+
+        Native matchers inline the predicate inside nested exists() lambdas
+        (JVM codegen).  UDF-backed matchers (jaro_winkler on Spark) cannot
+        appear inside SQL lambdas (Spark UNSUPPORTED_FEATURE
+        LAMBDA_FUNCTION_WITH_PYTHON_UDF), so they take the whole value lists
+        into one Arrow-batched pandas UDF instead."""
+        if m.kind == "jaro_winkler" and dialect == D.SPARK:
+            thr = float(m.params.get("threshold", 0.9))
+            return (f"jaro_winkler_any_ge({va_list}, {vb_list}, "
+                    f"CAST({thr!r} AS DOUBLE))")
+        return self._exists_pair(
+            va_list, vb_list,
+            lambda x, y: self.matcher_pred(m, x, y, dialect), dialect)
+
     def matcher_pred(self, m, x: str, y: str, dialect: str) -> str:
         if m.kind == "exact":
             return f"({x} = {y})"
@@ -393,10 +409,8 @@ class CompiledPlan:
                 fcol = f"f_{i}_{j}"
                 m_flags.append(fcol)
                 flags.append(
-                    self._exists_pair(
-                        f"va{i}.vlist", f"vb{i}.vlist",
-                        lambda x, y, m=m: self.matcher_pred(m, x, y, dialect),
-                        dialect) + f" AS {fcol}")
+                    self.matcher_flag(m, f"va{i}.vlist", f"vb{i}.vlist",
+                                      dialect) + f" AS {fcol}")
             conds.append("(" + " OR ".join(m_flags) + ")")
         return (
             "SELECT * FROM ("
