@@ -95,6 +95,18 @@ def _q_seeded(spark, sf_dir):
     return out.select("doc_id", F.col("hop").cast("int").alias("hop"))
 
 
+SEED_INPUT = {"name": ["john smith"], "phone": ["15550000000"]}
+SEED_INPUT_HOPS = 3
+
+
+def _q_input_seeded(spark, sf_dir):
+    """seeded resolution from input ATTRIBUTES (first-hop matching + bounded
+    snowball) — ≙ one full reference resolution request (SURVEY §4.1)."""
+    job = _job(spark, sf_dir)
+    out = job.resolve_input(attributes=SEED_INPUT, max_hops=SEED_INPUT_HOPS)
+    return out.select("doc_id", F.col("hop").cast("int").alias("hop"))
+
+
 def _q_explanations(spark, sf_dir):
     return _job(spark, sf_dir).explanations()
 
@@ -174,6 +186,23 @@ def _oracle_seeded() -> str:
         extra=extra, recursive=True)
 
 
+def _oracle_input_seeded() -> str:
+    plan = _plan()
+    extra = plan.seed_ctes(SEED_INPUT, D.DUCKDB) + [
+        ("und_e", _CC_EXTRA[0][1]),
+        ("reach_h", "SELECT doc_id, 0 AS hop FROM seed_docs_x "
+                    "UNION "
+                    "SELECT e.b, r.hop + 1 FROM reach_h r "
+                    "JOIN und_e e ON e.a = r.doc_id "
+                    f"WHERE r.hop < {SEED_INPUT_HOPS}"),
+    ]
+    return plan.sql(
+        D.DUCKDB, _rel(),
+        "SELECT doc_id, CAST(min(hop) AS INTEGER) AS hop "
+        "FROM reach_h GROUP BY doc_id",
+        extra=extra, recursive=True)
+
+
 def _oracle_media() -> str:
     return (
         "SELECT doc_id, "
@@ -225,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_sizes": _q_cluster_sizes,
         "er_seeded_hops": _q_seeded,
         "er_media_spans": _q_media,
+        "er_input_seeded": _q_input_seeded,
         "er_explanations": _q_explanations,
         "er_pair_scores": _q_pair_scores,
         "er_doc_scores": _q_doc_scores,
@@ -248,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT entity_id, CAST(count(*) AS BIGINT) AS n_docs FROM labels "
             "GROUP BY entity_id HAVING count(*) > 1"),
         "er_seeded_hops": _oracle_seeded(),
+        "er_input_seeded": _oracle_input_seeded(),
         "er_media_spans": _oracle_media(),
         "er_explanations": _oracle_stage(
             "SELECT doc_id_a, doc_id_b, resolver, attr, matcher, s "

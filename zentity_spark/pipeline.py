@@ -111,6 +111,40 @@ class ResolutionJob:
             )
         )
 
+    def seed_docs(self, attributes=None, terms=None) -> DataFrame:
+        """docs matched by the FIRST hop of a reference resolution request
+        with these input attributes/terms (SURVEY rows 13/24)."""
+        from zentity_spark.input import build_probe
+        probe = build_probe(self.spark, self.plan, attributes, terms)
+        extra = self.plan.seed_ctes(probe, D.SPARK)
+        df = self.spark.sql(self.plan.sql(
+            D.SPARK, self._view, "SELECT doc_id FROM seed_docs_x",
+            extra=extra))
+        # localCheckpoint: truncate the union-heavy seed plan NOW — letting
+        # it flow into the label-propagation loop trips a Spark 4 constraint
+        # rewrite bug (UnionBase.rewriteConstraints NoSuchElementException)
+        return df.localCheckpoint()
+
+    def resolve_input(self, attributes=None, terms=None, ids=None,
+                      max_hops: int = 100,
+                      edges: DataFrame | None = None) -> DataFrame:
+        """full analog of ``POST _zentity/resolution/{type}`` input handling:
+        seeds from attributes+terms (first-hop matching) and/or explicit
+        ids, then bounded snowball → (doc_id, hop)."""
+        seeds = None
+        if attributes or terms:
+            seeds = self.seed_docs(attributes, terms)
+        if ids:
+            ids_df = self.spark.createDataFrame(
+                [(s,) for s in ids], "doc_id string")
+            seeds = ids_df if seeds is None else seeds.union(ids_df).distinct()
+        if seeds is None:
+            raise ValueError("resolution input needs attributes, terms or ids")
+        if edges is None:
+            edges = self.match_edges()
+        return bounded_label_propagation(
+            edges.select("doc_id_a", "doc_id_b"), seeds, max_hops=max_hops)
+
     def resolve_seeded(self, seed_doc_ids, max_hops: int = 100,
                        edges: DataFrame | None = None) -> DataFrame:
         """seeded mode (≙ one reference resolution request): docs reachable

@@ -191,7 +191,7 @@ class CompiledPlan:
             f") WHERE value_norm IS NOT NULL AND value_norm <> ''{excl}"
         )
 
-    def _key_branches(self, attr: str, dialect: str):
+    def _key_branches(self, attr: str, dialect: str, attrs_rel: str = "attrs_x"):
         """key-emission SELECTs for one attribute (union of matcher key fns).
 
         Key prefixes keep matcher key-spaces disjoint:
@@ -204,7 +204,8 @@ class CompiledPlan:
           value emits bucket and bucket+1 so any pair within the window shares
           a bucket;  jaro_winkler → t ∪ p;  ngram → g.
         """
-        src = f"(SELECT DISTINCT doc_id, value_norm FROM attrs_x WHERE attr = {_q(attr)})"
+        src = (f"(SELECT DISTINCT doc_id, value_norm FROM {attrs_rel} "
+               f"WHERE attr = {_q(attr)})")
 
         def exploded(prefix: str, list_sql: str) -> str:
             """generators can't nest in expressions (Spark) — explode in an
@@ -517,6 +518,65 @@ class CompiledPlan:
                     "'' AS resolver WHERE 1=0")
         return " UNION ALL ".join(
             f"SELECT doc_id_a, doc_id_b, resolver FROM {p}" for p in parts)
+
+    # ---------- seeded input (rows 13/21/24: ids / snowball / terms) ----------
+
+    def seed_ctes(self, probe: dict, dialect: str) -> list:
+        """CTEs computing ``seed_docs_x(doc_id)``: the docs the reference's
+        FIRST hop would return for input attribute values ``probe``
+        ({attr: [normalized values]}) — per resolver whose attributes all
+        have probe values, candidate docs share a blocking key with the
+        probe on every attribute and verify under the attribute's matchers
+        (``Job.java::makeResolversFilterTree`` applied to the input value
+        set, ≈L560-640)."""
+        rows = [(a, v) for a, vs in sorted(probe.items()) for v in vs]
+        if not rows:
+            return [("seed_docs_x", "SELECT '' AS doc_id WHERE 1=0")]
+        vals = ", ".join(f"('__probe__', {_q(a)}, {_q(v)})" for a, v in rows)
+        ctes = [("probe_vals_x",
+                 f"SELECT * FROM (VALUES {vals}) AS t(doc_id, attr, value_norm)")]
+        key_branches = []
+        for a in sorted(probe):
+            key_branches.extend(
+                self._key_branches(a, dialect, attrs_rel="probe_vals_x"))
+        ctes.append(("probe_keys_x",
+                     "SELECT DISTINCT attr, key FROM ("
+                     + " UNION ALL ".join(key_branches) + ")"))
+        def plist(a: str) -> str:
+            """probe values as a LITERAL array — subqueries are illegal
+            inside higher-order-function lambdas (Spark)."""
+            lits = ", ".join(_q(v) for v in sorted(set(probe[a])))
+            return f"[{lits}]" if dialect == D.DUCKDB else f"array({lits})"
+        def cand(a: str) -> str:
+            return (f"(SELECT DISTINCT k.doc_id FROM keys_x k "
+                    f"JOIN probe_keys_x p ON p.attr = k.attr AND p.key = k.key "
+                    f"WHERE k.attr = {_q(a)})")
+
+        seed_parts = []
+        for r in self.active_resolvers():
+            if not all(a in probe and probe[a] for a in r.attributes):
+                continue  # resolver not queryable from this input (row 15)
+            attrs = list(r.attributes)
+            # candidates: key overlap with the probe on EVERY attribute
+            sql = f"SELECT DISTINCT c0.doc_id FROM {cand(attrs[0])} c0"
+            conds = []
+            for i, a in enumerate(attrs):
+                if i > 0:
+                    sql += f" JOIN {cand(a)} c{i} ON c{i}.doc_id = c0.doc_id"
+                sql += (f" JOIN vals_x dv{i} ON dv{i}.doc_id = c0.doc_id "
+                        f"AND dv{i}.attr = {_q(a)}")
+                m_flags = [
+                    self.matcher_flag(m, f"dv{i}.vlist", plist(a), dialect)
+                    for _, m, _fq in self.attr_matchers(a)]
+                conds.append("(" + " OR ".join(m_flags) + ")")
+            seed_parts.append(sql + " WHERE " + " AND ".join(conds))
+        if not seed_parts:
+            ctes.append(("seed_docs_x", "SELECT '' AS doc_id WHERE 1=0"))
+        else:
+            ctes.append(("seed_docs_x",
+                         "SELECT DISTINCT doc_id FROM ("
+                         + " UNION ALL ".join(seed_parts) + ")"))
+        return ctes
 
     # ---------- assembled CTE chain ----------
 
