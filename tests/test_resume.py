@@ -1,0 +1,58 @@
+"""Resume/lineage (BASELINE.md resumability row): a checkpointed run
+writes per-stage parquet + metrics; killing after stage k and re-running
+reproduces identical clusters while skipping completed stages.
+"""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from zentity_spark.pipeline import ResolutionJob
+
+
+@pytest.fixture
+def ckpt(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _labels(df):
+    return sorted((r["doc_id"], r["entity_id"])
+                  for r in df.select("doc_id", "entity_id").collect())
+
+
+def test_checkpointed_matches_direct(spark, docs_sf0001, model, ckpt):
+    job = ResolutionJob(spark, docs_sf0001, model, checkpoint_dir=ckpt)
+    got = _labels(job.run_checkpointed())
+    direct = _labels(ResolutionJob(spark, docs_sf0001, model).clusters())
+    assert got == direct
+
+
+def test_resume_skips_completed_stages(spark, docs_sf0001, model, ckpt):
+    job = ResolutionJob(spark, docs_sf0001, model, checkpoint_dir=ckpt)
+    first = _labels(job.run_checkpointed())
+
+    # "kill after edges": drop the final stage output, keep the rest
+    shutil.rmtree(os.path.join(ckpt, "clusters"))
+    attrs_mtime = os.path.getmtime(os.path.join(ckpt, "attrs_x", "_SUCCESS"))
+    edges_mtime = os.path.getmtime(os.path.join(ckpt, "edges", "_SUCCESS"))
+
+    job2 = ResolutionJob(spark, docs_sf0001, model, checkpoint_dir=ckpt)
+    second = _labels(job2.run_checkpointed())
+    assert second == first
+    # completed stages untouched (skipped, not recomputed)
+    assert os.path.getmtime(
+        os.path.join(ckpt, "attrs_x", "_SUCCESS")) == attrs_mtime
+    assert os.path.getmtime(
+        os.path.join(ckpt, "edges", "_SUCCESS")) == edges_mtime
+
+
+def test_metrics_lineage_written(spark, docs_sf0001, model, ckpt):
+    job = ResolutionJob(spark, docs_sf0001, model, checkpoint_dir=ckpt)
+    job.run_checkpointed()
+    with open(os.path.join(ckpt, "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    stages = [r["stage"] for r in rows]
+    assert stages == ["attrs_x", "keys_x", "vals_x", "edges", "clusters"]
+    assert all(r["rows_out"] > 0 and r["wall_ms"] > 0 for r in rows)

@@ -9,6 +9,8 @@ passthrough.
 
 from __future__ import annotations
 
+import os
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -31,9 +33,11 @@ class ResolutionJob:
     between stages: every stage is a DataFrame the driver can materialize."""
 
     def __init__(self, spark: SparkSession, docs: DataFrame, model: Model,
-                 scope: Scope | None = None, block_cap: int = 1000):
+                 scope: Scope | None = None, block_cap: int = 1000,
+                 checkpoint_dir: str | None = None):
         self.spark = spark
         self.docs = docs
+        self._ckpt_dir = checkpoint_dir
         self.plan: CompiledPlan = compile_model(
             model, scope or DEFAULT_SCOPE, block_cap)
         if any(m.kind == "jaro_winkler" for m in model.matchers.values()):
@@ -41,10 +45,92 @@ class ResolutionJob:
             register_similarity_udfs(spark)
         self._view = "docs_" + uuid.uuid4().hex[:12]
         docs.createOrReplaceTempView(self._view)
+        self._replace: dict = {}
+        self._persisted: list = []
 
-    def stage(self, select: str, upto: str | None = None) -> DataFrame:
+    def stage(self, select: str, upto: str | None = None,
+              extra: list | None = None) -> DataFrame:
         return self.spark.sql(
-            self.plan.sql(D.SPARK, self._view, select, upto=upto))
+            self.plan.sql(D.SPARK, self._view, select, upto=upto,
+                          extra=extra, replace=self._replace))
+
+    MAT_STAGES = ("attrs_x", "keys_x", "vals_x")
+
+    def materialize(self, stages=MAT_STAGES) -> None:
+        """write the fan-out stages to parquet once and substitute file
+        scans for their CTEs (idempotent).
+
+        Two reasons files, not cached temp views: (1) Spark recomputes CTE
+        subtrees per reference, so attrs/keys would re-run once per
+        resolver branch; (2) cached-view re-references inside the
+        self-joining chain trip Spark 4 attribute-resolution bugs
+        (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), while a parquet relation is
+        a clean leaf.  At cluster scale this is exactly the per-stage
+        materialization the resume/lineage design wants (SURVEY §5.3).
+        """
+        if self._ckpt_dir is None:
+            self._ckpt_dir = tempfile.mkdtemp(prefix="zentity_stage_")
+        import time as _t
+        os.makedirs(self._ckpt_dir, exist_ok=True)
+        for st in stages:
+            if st in self._replace:
+                continue
+            path = os.path.join(self._ckpt_dir, st)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                t0 = _t.time()
+                self.stage(f"SELECT * FROM {st}", upto=st) \
+                    .write.mode("overwrite").parquet(path)
+                self._metric(st, self.spark.read.parquet(path).count(),
+                             (_t.time() - t0) * 1000)
+            self._replace[st] = f"parquet.`{path}`"
+
+    def unpersist(self) -> None:
+        self._replace.clear()
+
+    # ---------- checkpointed execution (SURVEY §5.3 resume/lineage, M7) ----------
+
+    def _metric(self, stage: str, rows: int, wall_ms: float) -> None:
+        import json
+        import time as _t
+        with open(os.path.join(self._ckpt_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps({
+                "stage": stage, "rows_out": rows,
+                "wall_ms": round(wall_ms, 1), "ts": _t.time()}) + "\n")
+
+    def _ckpt_stage(self, name: str, build) -> DataFrame:
+        """idempotent stage materialization: skip when the stage's parquet
+        is complete (_SUCCESS), else compute, write, and record lineage.
+        The restart contract: overwrite-by-stage, so a killed run resumes
+        from the last completed stage with identical results."""
+        import time as _t
+        path = os.path.join(self._ckpt_dir, name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            t0 = _t.time()
+            build().write.mode("overwrite").parquet(path)
+            df = self.spark.read.parquet(path)
+            self._metric(name, df.count(), (_t.time() - t0) * 1000)
+        return self.spark.read.parquet(path)
+
+    def run_checkpointed(self) -> DataFrame:
+        """full batch resolution with EVERY major stage materialized to
+        ``checkpoint_dir`` + a ``metrics.jsonl`` lineage log — the batch
+        analog of a resumable job (the reference's jobs are in-heap and
+        not resumable, SURVEY §5.2; this is our deliberate strengthening).
+        """
+        if self._ckpt_dir is None:
+            raise ValueError("run_checkpointed requires checkpoint_dir")
+        os.makedirs(self._ckpt_dir, exist_ok=True)
+        self.materialize()              # attrs_x / keys_x / vals_x
+        edges = self._ckpt_stage("edges", self.match_edges)
+        labels = self._ckpt_stage(
+            "clusters",
+            lambda: self.clusters(edges).select("doc_id", "entity_id"))
+        return (
+            self.docs.join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("entity_id", "doc_id").alias("entity_id"),
+                    "spans")
+        )
 
     def attrs(self) -> DataFrame:
         return self.stage(
@@ -59,6 +145,7 @@ class ResolutionJob:
             "SELECT doc_id_a, doc_id_b, resolver FROM pairs_x", upto="pairs_x")
 
     def match_edges(self) -> DataFrame:
+        self.materialize()
         return self.stage(
             "SELECT doc_id_a, doc_id_b, resolver FROM match_edges_x",
             upto="match_edges_x")

@@ -603,7 +603,7 @@ class CompiledPlan:
 
     def sql(self, dialect: str, docs_rel: str, select: str,
             upto: str | None = None, extra: list | None = None,
-            recursive: bool = False) -> str:
+            recursive: bool = False, replace: dict | None = None) -> str:
         """WITH <ctes...> <select>; ``upto`` truncates the chain (the final
         select may only reference CTEs up to that name).  ``extra`` appends
         additional ``(name, sql)`` CTEs after the compiled chain (e.g. the
@@ -617,6 +617,18 @@ class CompiledPlan:
                 raise KeyError(upto)
             ctes = ctes[: idx[0] + 1]
         ctes = ctes + list(extra or [])
+        if replace:
+            # stage materialization: a persisted stage's CTE is REMOVED and
+            # its references rewritten to the materialized view name (Spark
+            # recomputes CTE subtrees per reference, and a `SELECT * FROM
+            # view` CTE body trips a Spark 4 InlineCTE validation bug)
+            ctes = [(n, s) for n, s in ctes if n not in replace]
+            def _sub(sql_text: str) -> str:
+                for name, view in replace.items():
+                    sql_text = re.sub(rf"\b{name}\b", view, sql_text)
+                return sql_text
+            ctes = [(n, _sub(s)) for n, s in ctes]
+            select = _sub(select)
         body = ",\n".join(f"{n} AS ({s})" for n, s in ctes)
         kw = "WITH RECURSIVE" if recursive else "WITH"
         return f"{kw} {body}\n{select}"
