@@ -232,6 +232,40 @@ class ResolutionJob:
         return bounded_label_propagation(
             edges.select("doc_id_a", "doc_id_b"), seeds, max_hops=max_hops)
 
+    def attributes_map(self) -> DataFrame:
+        """(doc_id, attributes map<attr, array<value>>) — the harvested
+        attribute set per doc (≙ `_attributes` hit payload, row 33)."""
+        vals = self.stage("SELECT doc_id, attr, vlist FROM vals_x",
+                          upto="vals_x")
+        return (vals.groupBy("doc_id")
+                .agg(F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("attr", "vlist")))
+                ).alias("attributes")))
+
+    def response(self, attributes=None, terms=None, ids=None,
+                 max_hops: int = 100, include_attributes: bool = True,
+                 include_score: bool = True, include_explanation: bool = False,
+                 include_source: bool = True) -> DataFrame:
+        """assembled resolution response for one input — the batch analog of
+        the REST hit payload (`Job.java::run` response block ≈L1200-1500,
+        SURVEY rows 5/31/33): (doc_id, hop [, attributes][, score]
+        [, explanation][, spans])."""
+        edges = self.match_edges()
+        hits = self.resolve_input(attributes=attributes, terms=terms,
+                                  ids=ids, max_hops=max_hops, edges=edges)
+        out = hits.select("doc_id", F.col("hop").cast("int").alias("hop"))
+        if include_attributes:
+            out = out.join(self.attributes_map(), "doc_id", "left")
+        if include_score:
+            out = out.join(self.doc_scores().withColumnRenamed(
+                "score", "score"), "doc_id", "left")
+        if include_explanation:
+            out = out.join(self.explanation_structs(), "doc_id", "left")
+        if include_source:
+            out = out.join(self.docs.select("doc_id", "spans"), "doc_id",
+                           "left")
+        return out
+
     def resolve_seeded(self, seed_doc_ids, max_hops: int = 100,
                        edges: DataFrame | None = None) -> DataFrame:
         """seeded mode (≙ one reference resolution request): docs reachable
