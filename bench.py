@@ -54,25 +54,37 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # flagship FIRST, fully cold: end-to-end extract→block→pair→verify→
-    # cluster with nothing cached (order matters — running stage timers
-    # first would leave cached edges around and fake the e2e number)
-    job = ResolutionJob(spark, docs, model)
-    t0 = time.time()
-    n_out = job.clusters().count()
-    e2e = time.time() - t0
-    timings["e2e_resolution"] = round(e2e, 3)
+    # flagship: end-to-end extract→block→pair→verify→cluster, nothing
+    # cached between repeats (each repeat builds a fresh job and unpersists
+    # its stage materializations).  BENCH_REPEAT>1 repeats in-process so
+    # later runs measure warm-JIT steady state (the scaling protocol uses
+    # repeat=4 and drops run 0 — JIT is identical serial cost at any
+    # parallelism and would mask scaling).
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    runs = []
+    for _ in range(max(1, repeat)):
+        job = ResolutionJob(spark, docs, model)
+        t0 = time.time()
+        n_out = job.clusters().count()
+        runs.append(round(time.time() - t0, 3))
+        job.unpersist()
+        assert n_out == n_docs, f"output rows {n_out} != input docs {n_docs}"
+    tail = runs[1:] if len(runs) > 1 else runs
+    e2e = sorted(tail)[len(tail) // 2]
+    timings["e2e_resolution"] = e2e
 
-    # per-stage diagnostics (each recomputes its full prefix — cumulative,
-    # not additive)
-    job2 = ResolutionJob(spark, docs, model)
-    timed("extract_attributes", lambda: job2.attrs().count())
-    timed("blocking_keys", lambda: job2.keys().count())
-    timed("candidate_pairs", lambda: job2.candidate_pairs().count())
-    edges = job2.match_edges()
-    timed("match_edges", lambda: edges.cache().count())
-    timed("connected_components", lambda: job2.clusters(edges).count())
-    edges.unpersist()
+    if os.environ.get("BENCH_DIAG", "1") == "1":
+        # per-stage diagnostics (each recomputes its full prefix —
+        # cumulative, not additive)
+        job2 = ResolutionJob(spark, docs, model)
+        timed("extract_attributes", lambda: job2.attrs().count())
+        timed("blocking_keys", lambda: job2.keys().count())
+        timed("candidate_pairs", lambda: job2.candidate_pairs().count())
+        edges = job2.match_edges()
+        timed("match_edges", lambda: edges.cache().count())
+        timed("connected_components", lambda: job2.clusters(edges).count())
+        edges.unpersist()
+        job2.unpersist()
 
     assert n_out == n_docs, f"output rows {n_out} != input docs {n_docs}"
 
@@ -80,6 +92,7 @@ def main() -> None:
         "metric": "e2e_resolution_sec",
         "value": round(e2e, 3),
         "unit": "sec",
+        "runs": runs,
         "queries": timings,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "docs": n_docs,

@@ -22,11 +22,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(sf_dir: str, cpus: int, shuffle: int) -> dict:
+def run_bench(sf_dir: str, cpus: int, shuffle: int, repeat: int) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cpus),
                BENCH_SHUFFLE=str(shuffle),
+               BENCH_REPEAT=str(repeat),
+               BENCH_DIAG="0",
                ZENTITY_DRIVER_MEM="32g")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -37,26 +39,24 @@ def run_bench(sf_dir: str, cpus: int, shuffle: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=3,
+                    help="measured in-process repeats (plus 1 warmup)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
     results = {}
     for cpus, shuffle in ((8, 32), (32, 128)):
-        rates, walls = [], []
-        for i in range(args.runs + 1):
-            t0 = time.time()
-            r = run_bench(args.sf_dir, cpus, shuffle)
-            print(f"local[{cpus}] run {i}: {r['value']}s "
-                  f"{r['docs_per_sec']} docs/s (total {time.time()-t0:.0f}s)",
-                  flush=True)
-            if i == 0:
-                continue  # discard warmup (JIT + OS page cache)
-            rates.append(r["docs_per_sec"])
-            walls.append(r["value"])
+        t0 = time.time()
+        # one process per level, runs+1 in-process repeats; bench.py drops
+        # run 0 (JIT warmup) and reports the median of the rest
+        r = run_bench(args.sf_dir, cpus, shuffle, args.runs + 1)
+        wall = r["value"]
+        rate = r["docs"] / wall
+        print(f"local[{cpus}] runs={r['runs']} median={wall}s "
+              f"{rate:.1f} docs/s (total {time.time()-t0:.0f}s)", flush=True)
         results[cpus] = {
-            "docs_per_sec": statistics.median(rates),
-            "wall_s": statistics.median(walls),
+            "docs_per_sec": rate,
+            "wall_s": wall,
             "docs": r["docs"],
             "runs": r,
         }

@@ -43,6 +43,13 @@ class ResolutionJob:
         if any(m.kind == "jaro_winkler" for m in model.matchers.values()):
             from zentity_spark.functions.similarity import register_similarity_udfs
             register_similarity_udfs(spark)
+        # an under-partitioned source (e.g. a single-row-group parquet)
+        # would serialize the whole extract stage; one cheap shuffle up
+        # front keeps every downstream stage at full parallelism
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if docs.rdd.getNumPartitions() < min(8, target):
+            docs = docs.repartition(target)
+            self.docs = docs
         self._view = "docs_" + uuid.uuid4().hex[:12]
         docs.createOrReplaceTempView(self._view)
         self._replace: dict = {}
@@ -54,7 +61,7 @@ class ResolutionJob:
             self.plan.sql(D.SPARK, self._view, select, upto=upto,
                           extra=extra, replace=self._replace))
 
-    MAT_STAGES = ("attrs_x", "keys_x", "vals_x")
+    MAT_STAGES = ("attrs_x", "keys_x", "vals_x", "vals_wide_x")
 
     def materialize(self, stages=MAT_STAGES) -> None:
         """write the fan-out stages to parquet once and substitute file

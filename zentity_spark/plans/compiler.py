@@ -392,35 +392,48 @@ class CompiledPlan:
         return (f"SELECT doc_id, attr, {agg} AS vlist "
                 f"FROM attrs_x GROUP BY doc_id, attr")
 
+    def sql_vals_wide(self, dialect: str) -> str:
+        """one row per doc with a vlist column per scored attribute — the
+        verification joins hit this ONCE per pair side instead of once per
+        (pair side × attribute), cutting 2N shuffle joins to 2 per
+        resolver (the pair table is the biggest relation in the plan)."""
+        cols = ", ".join(
+            f"max(CASE WHEN attr = {_q(a)} THEN vlist END) AS vl_{i}"
+            for i, a in enumerate(self.scored_attrs()))
+        return f"SELECT doc_id, {cols} FROM vals_x GROUP BY doc_id"
+
     def sql_edges_resolver(self, r, dialect: str) -> str:
         """verified edges for one resolver, WITH per-(attribute, matcher)
         match-flag lineage columns ``f_{i}_{j}`` (≙ ES named leaf queries +
         ``matched_queries`` decoding, ``Job.java`` `_name` assembly ≈L380-430
         & hit loop ≈L1050-1150, SURVEY row 19 — we never erase provenance, so
         there is nothing to decode)."""
-        joins = []
+        attr_idx = {a: i for i, a in enumerate(self.scored_attrs())}
         conds = []
         flags = []
         for i, a in enumerate(r.attributes):
-            joins.append(
-                f" JOIN vals_x va{i} ON va{i}.doc_id = p.doc_id_a AND va{i}.attr = {_q(a)}"
-                f" JOIN vals_x vb{i} ON vb{i}.doc_id = p.doc_id_b AND vb{i}.attr = {_q(a)}")
+            k = attr_idx[a]
             m_flags = []
             for j, (mname, m, _fq) in enumerate(self.attr_matchers(a)):
                 fcol = f"f_{i}_{j}"
                 m_flags.append(fcol)
+                # coalesce: a doc lacking the attribute has a NULL vlist
+                # (wide-vals left shape) and must NOT match
                 flags.append(
-                    self.matcher_flag(m, f"va{i}.vlist", f"vb{i}.vlist",
-                                      dialect) + f" AS {fcol}")
+                    "coalesce("
+                    + self.matcher_flag(m, f"wa.vl_{k}", f"wb.vl_{k}", dialect)
+                    + f", FALSE) AS {fcol}")
             conds.append("(" + " OR ".join(m_flags) + ")")
+        # pairs_x is already DISTINCT per resolver branch — no re-dedup
         return (
             "SELECT * FROM ("
             f"SELECT p.doc_id_a, p.doc_id_b, {_q(r.name)} AS resolver, "
             + ", ".join(flags)
-            + f" FROM (SELECT DISTINCT doc_id_a, doc_id_b FROM pairs_x "
+            + f" FROM (SELECT doc_id_a, doc_id_b FROM pairs_x "
             f"      WHERE resolver = {_q(r.name)}) p"
-            + "".join(joins)
-            + ") efq WHERE " + " AND ".join(conds)
+            " JOIN vals_wide_x wa ON wa.doc_id = p.doc_id_a"
+            " JOIN vals_wide_x wb ON wb.doc_id = p.doc_id_b"
+            ") efq WHERE " + " AND ".join(conds)
         )
 
     # ---------- scoring & explanation (SURVEY rows 26-27, 32; Appendix B) ----------
@@ -593,6 +606,7 @@ class CompiledPlan:
             out.append((f"ck_{r.name}_capped", self.sql_ck_capped(r, dialect)))
         out.append(("pairs_x", self.sql_pairs(dialect)))
         out.append(("vals_x", self.sql_vals(dialect)))
+        out.append(("vals_wide_x", self.sql_vals_wide(dialect)))
         for r in self.active_resolvers():
             out.append((f"edges_{r.name}", self.sql_edges_resolver(r, dialect)))
         out.append(("match_edges_x", self.sql_match_edges(dialect)))

@@ -27,6 +27,10 @@ def get_spark(master: str | None = None, app: str = "zentity_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # split parquet scans finely: the synthetic corpora are a few
+        # hundred MB, and 128m splits would cap scan parallelism at 1-2
+        # tasks on a 32-core box
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("ZENTITY_SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("ZENTITY_DRIVER_MEM", "8g"))

@@ -74,6 +74,9 @@ TIERS = {
     "sf0.001": 150,
     "sf0.01": 1500,
     "sf0.1": 150000,
+    # larger tier for the two-parallelism scaling protocol: per-stage
+    # compute must dwarf fixed stage-barrier latency to measure scaling
+    "sf0.3": 450000,
 }
 
 
@@ -281,9 +284,12 @@ def write_corpus(out_dir: str, n_persons: int, seed: int = SEED) -> dict:
     persons, docs, labeled = generate(n_persons, seed)
     rows = docs_to_rows(docs, seed)
 
+    # small row groups: parquet splits at row-group boundaries, and a
+    # single-row-group file caps every downstream Spark scan at ONE task
     pq.write_table(
         pa.Table.from_pylist(rows, schema=DOCS_SCHEMA),
-        os.path.join(out_dir, "docs_spans.parquet"))
+        os.path.join(out_dir, "docs_spans.parquet"),
+        row_group_size=16384)
     pq.write_table(
         pa.Table.from_pylist(persons),
         os.path.join(out_dir, "persons.parquet"))
@@ -307,7 +313,7 @@ def corpus_dir(tier: str, base: str | None = None) -> str:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if base is None:
         base = os.path.join(
-            repo, ".cache" if tier == "sf0.1" else "fixtures")
+            repo, ".cache" if tier in ("sf0.1", "sf0.3") else "fixtures")
     out = os.path.join(base, tier)
     marker = os.path.join(out, "docs_spans.parquet")
     if not os.path.exists(marker):
