@@ -80,12 +80,39 @@ def norm_none(c: str, dialect: str) -> str:
     return f"trim({c})"
 
 
+def norm_number(c: str, dialect: str) -> str:
+    """canonical numeric serialization (value identity = serialized form,
+    ``resolution/input/value/NumberValue.java::serialize`` ≈L30-80):
+    parse as double; integral values render as integers (engines disagree
+    on scientific notation for large doubles), fractional values render
+    via the double-to-string path — '3.10', '3.1', '0.31e1' → '3.1';
+    '15551234567' → '15551234567' in both dialects."""
+    if dialect == DUCKDB:
+        x = f"TRY_CAST(trim({c}) AS DOUBLE)"
+        return (f"CASE WHEN {x} = floor({x}) AND abs({x}) < 9e18 "
+                f"THEN CAST(CAST({x} AS BIGINT) AS VARCHAR) "
+                f"ELSE CAST({x} AS VARCHAR) END")
+    x = f"try_cast(trim({c}) AS DOUBLE)"
+    return (f"CASE WHEN {x} = floor({x}) AND abs({x}) < 9e18 "
+            f"THEN CAST(CAST({x} AS BIGINT) AS STRING) "
+            f"ELSE CAST({x} AS STRING) END")
+
+
+def norm_bool(c: str, dialect: str) -> str:
+    """canonical boolean serialization ('true'/'false', case-folded)."""
+    if dialect == DUCKDB:
+        return f"CAST(TRY_CAST(lower(trim({c})) AS BOOLEAN) AS VARCHAR)"
+    return f"CAST(try_cast(lower(trim({c})) AS BOOLEAN) AS STRING)"
+
+
 NORMALIZERS = {
     "name": norm_name,
     "phone": norm_phone,
     "email": norm_email,
     "city": norm_city,
     "date": norm_date,
+    "number": norm_number,
+    "bool": norm_bool,
     "none": norm_none,
 }
 

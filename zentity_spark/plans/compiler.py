@@ -94,7 +94,10 @@ class CompiledPlan:
         n = a.params.get("normalizer")
         if n:
             return n
-        return "date" if a.type == "date" else "none"
+        # default canonical serialization per attribute type (≙ Value
+        # subclasses' serialize(), SURVEY row 28)
+        return {"date": "date", "number": "number",
+                "boolean": "bool"}.get(a.type, "none")
 
     def field_map(self):
         """[(source, span_field, attr)] distinct extraction mappings."""
@@ -275,15 +278,26 @@ class CompiledPlan:
 
     def sql_resolver_ck(self, r, dialect: str) -> str:
         """composite candidate key per resolver: cross-product of the per
-        attribute key sets of a doc (SURVEY row 17 → composite blocking)."""
+        attribute key sets of a doc (SURVEY row 17 → composite blocking).
+
+        The composite is HASHED to a 64-bit key: the self-join then shuffles
+        8-byte longs instead of concatenated strings (memory-bandwidth is
+        the scaling ceiling on string-heavy shuffles).  The two dialects use
+        different hash functions — candidate-pair SETS are identical either
+        way (a cross-engine collision difference has probability ~2^-64 per
+        key pair, and verification filters spurious candidates regardless)."""
         attrs = list(r.attributes)
         base = (f"SELECT doc_id, key AS k0 FROM keys_x WHERE attr = {_q(attrs[0])}")
         sql = f"({base}) t0"
-        sel = "t0.k0"
+        cols = ["t0.k0"]
         for i, a in enumerate(attrs[1:], start=1):
             sql += (f" JOIN (SELECT doc_id, key AS k{i} FROM keys_x "
                     f"WHERE attr = {_q(a)}) t{i} ON t{i}.doc_id = t0.doc_id")
-            sel += f" || '{_PAIR_SEP}' || t{i}.k{i}"
+            cols.append(f"t{i}.k{i}")
+        if dialect == D.DUCKDB:
+            sel = f"hash({f' || {_q(_PAIR_SEP)} || '.join(cols)})"
+        else:
+            sel = f"xxhash64({', '.join(cols)})"
         return f"SELECT t0.doc_id AS doc_id, {sel} AS ckey FROM {sql}"
 
     def sql_pairs(self, dialect: str) -> str:

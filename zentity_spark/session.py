@@ -31,6 +31,10 @@ def get_spark(master: str | None = None, app: str = "zentity_spark",
         # hundred MB, and 128m splits would cap scan parallelism at 1-2
         # tasks on a 32-core box
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # throughput-oriented GC for batch jobs: G1's concurrent cycles
+        # fight the worker threads at high core counts on this workload
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("ZENTITY_SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("ZENTITY_DRIVER_MEM", "8g"))
