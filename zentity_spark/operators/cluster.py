@@ -81,8 +81,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         return e.select(F.col("u").alias("doc_id"), F.col("v").alias("entity_id"))
     prev = None
     for _ in range(max_iter):
-        e = _large_star(e).localCheckpoint()
-        e = _small_star(e).localCheckpoint()
+        # one checkpoint per round: large→small star fused into a single
+        # materialization (each localCheckpoint is an eager Spark job —
+        # per-round fixed cost matters more than lineage depth of 2)
+        e = _small_star(_large_star(e)).localCheckpoint()
         cur = _checksum(e)
         if cur == prev:
             break

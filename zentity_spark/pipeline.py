@@ -61,11 +61,16 @@ class ResolutionJob:
             self.plan.sql(D.SPARK, self._view, select, upto=upto,
                           extra=extra, replace=self._replace))
 
-    MAT_STAGES = ("attrs_x", "keys_x", "vals_x", "vals_wide_x")
+    # attrs first (everything derives from it), then keys and wide-vals as
+    # CONCURRENT Spark jobs; vals_x stays a CTE (only wide-vals and
+    # attributes_map read it — a separate materialization is a wasted
+    # barrier)
+    MAT_STAGES = (("attrs_x",), ("keys_x", "vals_wide_x"))
 
     def materialize(self, stages=MAT_STAGES) -> None:
         """write the fan-out stages to parquet once and substitute file
-        scans for their CTEs (idempotent).
+        scans for their CTEs (idempotent); independent stages within one
+        dependency level run as concurrent Spark jobs from threads.
 
         Two reasons files, not cached temp views: (1) Spark recomputes CTE
         subtrees per reference, so attrs/keys would re-run once per
@@ -75,21 +80,36 @@ class ResolutionJob:
         a clean leaf.  At cluster scale this is exactly the per-stage
         materialization the resume/lineage design wants (SURVEY §5.3).
         """
+        import threading
+        import time as _t
         if self._ckpt_dir is None:
             self._ckpt_dir = tempfile.mkdtemp(prefix="zentity_stage_")
-        import time as _t
         os.makedirs(self._ckpt_dir, exist_ok=True)
-        for st in stages:
-            if st in self._replace:
-                continue
+        lock = threading.Lock()
+
+        def run_one(st: str) -> None:
             path = os.path.join(self._ckpt_dir, st)
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 t0 = _t.time()
                 self.stage(f"SELECT * FROM {st}", upto=st) \
                     .write.mode("overwrite").parquet(path)
-                self._metric(st, self.spark.read.parquet(path).count(),
-                             (_t.time() - t0) * 1000)
-            self._replace[st] = f"parquet.`{path}`"
+                n = self.spark.read.parquet(path).count()
+                with lock:
+                    self._metric(st, n, (_t.time() - t0) * 1000)
+            with lock:
+                self._replace[st] = f"parquet.`{path}`"
+
+        for level in stages:
+            todo = [st for st in level if st not in self._replace]
+            if len(todo) == 1:
+                run_one(todo[0])
+                continue
+            threads = [threading.Thread(target=run_one, args=(st,))
+                       for st in todo]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
 
     def unpersist(self) -> None:
         self._replace.clear()
