@@ -71,12 +71,16 @@ HOT_NAME = "john smith"
 HOT_FRACTION = 0.05
 
 TIERS = {
-    "sf0.001": 150,
-    "sf0.01": 1500,
-    "sf0.1": 150000,
-    # larger tier for the two-parallelism scaling protocol: per-stage
-    # compute must dwarf fixed stage-barrier latency to measure scaling
-    "sf0.3": 450000,
+    "sf0.001": (150, 2, 6),
+    "sf0.01": (1500, 2, 6),
+    "sf0.1": (150000, 2, 6),
+    # larger tiers for the two-parallelism scaling protocol: per-stage
+    # compute must dwarf fixed stage-barrier latency to measure scaling.
+    # sf1 scales docs-per-person, not persons: the ≥5-day DOB-spacing
+    # invariant (correctness-by-construction) caps persons at ~580k
+    # within the valid date range.
+    "sf0.3": (450000, 2, 6),
+    "sf1": (450000, 6, 14),
 }
 
 
@@ -141,10 +145,11 @@ def _media_ref(doc_id: str, i: int) -> str:
     return "media://" + hashlib.sha1(f"{doc_id}/{i}".encode()).hexdigest()[:8]
 
 
-def generate(n_persons: int, seed: int = SEED):
+def generate(n_persons: int, seed: int = SEED, docs_lo: int = 2,
+             docs_hi: int = 6):
     """Generate (persons, docs, labeled_pairs) as lists of dicts.
 
-    Deterministic for a given (n_persons, seed).
+    Deterministic for a given (n_persons, docs range, seed).
     """
     rng = random.Random((seed, n_persons).__repr__())
     firsts, lasts = _name_pools()
@@ -172,7 +177,7 @@ def generate(n_persons: int, seed: int = SEED):
     seq = {s: 0 for s in "abcd"}
     docs = []          # dict: doc_id, person_id, fields(list[(field, raw)])
     for p in persons:
-        n_docs = rng.randint(2, 6)
+        n_docs = rng.randint(docs_lo, docs_hi)
         pid_docs = []
         for di in range(n_docs):
             if di == 0:
@@ -278,10 +283,11 @@ def docs_to_rows(docs, seed: int = SEED):
     return rows
 
 
-def write_corpus(out_dir: str, n_persons: int, seed: int = SEED) -> dict:
+def write_corpus(out_dir: str, n_persons: int, seed: int = SEED,
+                 docs_lo: int = 2, docs_hi: int = 6) -> dict:
     """Write documents/persons/doc_truth/labeled_pairs parquet into out_dir."""
     os.makedirs(out_dir, exist_ok=True)
-    persons, docs, labeled = generate(n_persons, seed)
+    persons, docs, labeled = generate(n_persons, seed, docs_lo, docs_hi)
     rows = docs_to_rows(docs, seed)
 
     # small row groups: parquet splits at row-group boundaries, and a
@@ -313,11 +319,12 @@ def corpus_dir(tier: str, base: str | None = None) -> str:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if base is None:
         base = os.path.join(
-            repo, ".cache" if tier in ("sf0.1", "sf0.3") else "fixtures")
+            repo, "fixtures" if tier in ("sf0.001", "sf0.01") else ".cache")
     out = os.path.join(base, tier)
     marker = os.path.join(out, "docs_spans.parquet")
     if not os.path.exists(marker):
-        write_corpus(out, TIERS[tier])
+        n, lo, hi = TIERS[tier]
+        write_corpus(out, n, docs_lo=lo, docs_hi=hi)
     return out
 
 
