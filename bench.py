@@ -60,7 +60,7 @@ def main() -> None:
     # later runs measure warm-JIT steady state (the scaling protocol uses
     # repeat=4 and drops run 0 — JIT is identical serial cost at any
     # parallelism and would mask scaling).
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     runs = []
     for _ in range(max(1, repeat)):
         job = ResolutionJob(spark, docs, model)

@@ -44,6 +44,29 @@ def test_identity_scores(plan, attr, matcher, expect):
     assert plan.identity_score(attr, matcher) == pytest.approx(expect, rel=0, abs=0)
 
 
+from hypothesis import given, strategies as st
+
+scores = st.lists(st.floats(0.001, 0.999), min_size=1, max_size=6)
+
+
+@given(ss=scores)
+def test_conflation_bounds(ss):
+    s_by = {f"a{i}": s for i, s in enumerate(ss)}
+    S = conflate(s_by, sorted(s_by))
+    assert 0.0 <= S <= 1.0
+
+
+@given(ss=scores, idx=st.integers(0, 5), delta=st.floats(0.001, 0.3))
+def test_conflation_monotone(ss, idx, delta):
+    """raising any attribute score never lowers the composite."""
+    idx = idx % len(ss)
+    s_by = {f"a{i}": s for i, s in enumerate(ss)}
+    S1 = conflate(s_by, sorted(s_by))
+    s_by[f"a{idx}"] = min(0.999, ss[idx] + delta)
+    S2 = conflate(s_by, sorted(s_by))
+    assert S2 >= S1 - 1e-12
+
+
 def test_conflation_identity_and_dominance(plan):
     # s=0.5 is the identity element; 1.0 dominates
     assert conflate({"a": 0.5}, ["a"]) == 0.5
