@@ -30,8 +30,12 @@ def run_bench(sf_dir: str, cpus: int, shuffle: int, repeat: int) -> dict:
                BENCH_REPEAT=str(repeat),
                BENCH_DIAG="0",
                ZENTITY_DRIVER_MEM="32g")
+    # taskset pins the WHOLE JVM (GC/JIT/IO threads included) to N cores —
+    # local[N] alone only caps task threads, leaking extra parallelism
+    # into the small configuration and understating scaling efficiency
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)

@@ -51,6 +51,17 @@ def test_f1_on_labeled_pairs(spark, sf0001_dir, clusters):
     assert f1 >= 0.99, f"pairwise F1 {f1} below BASELINE gate"
 
 
+def test_metrics_module_agrees(spark, sf0001_dir, clusters):
+    from zentity_spark.metrics import pairwise_f1, partition_quality
+    labeled = spark.read.parquet(
+        os.path.join(sf0001_dir, "labeled_pairs.parquet"))
+    m = pairwise_f1(clusters, labeled)
+    assert m["f1"] >= 0.99 and m["fp"] == 0 and m["fn"] == 0
+    truth = spark.read.parquet(os.path.join(sf0001_dir, "doc_truth.parquet"))
+    q = partition_quality(clusters, truth)
+    assert q == {"split_persons": 0, "merged_entities": 0}
+
+
 def test_clusters_match_person_truth_exactly(spark, sf0001_dir, clusters):
     """stronger than the F1 gate: predicted partition == person partition."""
     truth = spark.read.parquet(os.path.join(sf0001_dir, "doc_truth.parquet"))
