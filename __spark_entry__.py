@@ -208,7 +208,8 @@ def _oracle_media() -> str:
         "SELECT doc_id, "
         "CAST(len(list_filter(spans, s -> s.kind = 'media')) AS INTEGER) AS n_media, "
         "CAST(len(list_filter(spans, s -> s.kind = 'text')) AS INTEGER) AS n_text, "
-        "CAST(list_max(list_transform(spans, s -> s.offset)) AS INTEGER) AS max_offset "
+        "CAST(coalesce(list_max(list_transform(spans, s -> s.offset)), -1) "
+        "AS INTEGER) AS max_offset "
         f"FROM {_rel()}"
     )
 

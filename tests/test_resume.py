@@ -59,3 +59,33 @@ def test_metrics_lineage_written(spark, docs_sf0001, model, ckpt):
                            "edges", "clusters"}
     assert stages[0] == "attrs_x" and stages[-1] == "clusters"
     assert all(r["rows_out"] > 0 and r["wall_ms"] > 0 for r in rows)
+
+
+def test_stale_checkpoint_refused(spark, docs_sf0001, model, ckpt):
+    """reusing a checkpoint dir after the job identity changes (model /
+    scope / block_cap / input files) must refuse, not silently join stale
+    stage parquet against the new inputs (ADVICE round 1)."""
+    job = ResolutionJob(spark, docs_sf0001, model, checkpoint_dir=ckpt)
+    job.run_checkpointed()
+    job2 = ResolutionJob(spark, docs_sf0001, model, checkpoint_dir=ckpt,
+                         block_cap=7)
+    with pytest.raises(ValueError, match="fingerprint"):
+        job2.run_checkpointed()
+
+
+def test_unpersist_removes_owned_scratch_dir(spark, docs_sf0001, model):
+    """jobs without a checkpoint_dir own their scratch dir and must remove
+    it on unpersist (bench loops were leaking stage parquet into /tmp)."""
+    job = ResolutionJob(spark, docs_sf0001, model)
+    job.materialize()
+    scratch = job._ckpt_dir
+    assert scratch is not None and os.path.exists(scratch)
+    job.unpersist()
+    assert not os.path.exists(scratch)
+
+
+def test_unpersist_keeps_user_checkpoint_dir(spark, docs_sf0001, model, ckpt):
+    job = ResolutionJob(spark, docs_sf0001, model, checkpoint_dir=ckpt)
+    job.run_checkpointed()
+    job.unpersist()
+    assert os.path.exists(os.path.join(ckpt, "clusters"))

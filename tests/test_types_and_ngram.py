@@ -26,11 +26,16 @@ def _agree(spark, build, values):
 
 def test_number_canonicalization_agree(spark):
     got = _agree(spark, D.norm_number,
-                 ["3.10", "3.1", " 0.31e1", "7", "-2.50", "abc"])
-    assert got[0] == got[1] == got[2] == "3.1"
+                 ["3.10", "3.1", " 0.31e1", "7", "-2.50", "abc",
+                  "1e-7", "0.0000001", "nan", "inf"])
+    # fractional canonical form is an EXPLICIT shared %.12e render — bare
+    # double→string casts disagree across engines ('1.0E-7' vs '1e-07')
+    assert got[0] == got[1] == got[2] == "3.100000000000e+00"
     assert got[3] == "7"
-    assert got[4] == "-2.5"
+    assert got[4] == "-2.500000000000e+00"
     assert got[5] is None
+    assert got[6] == got[7] == "1.000000000000e-07"
+    assert got[8] is None and got[9] is None
 
 
 def test_bool_canonicalization_agree(spark):

@@ -83,19 +83,25 @@ def norm_none(c: str, dialect: str) -> str:
 def norm_number(c: str, dialect: str) -> str:
     """canonical numeric serialization (value identity = serialized form,
     ``resolution/input/value/NumberValue.java::serialize`` ≈L30-80):
-    parse as double; integral values render as integers (engines disagree
-    on scientific notation for large doubles), fractional values render
-    via the double-to-string path — '3.10', '3.1', '0.31e1' → '3.1';
-    '15551234567' → '15551234567' in both dialects."""
+    parse as double; integral values render as integers; fractional values
+    render via an EXPLICIT shared scientific format (%.12e) — bare
+    double-to-string casts disagree across engines ('1.0E-7' in Spark vs
+    '1e-07' in DuckDB).  '3.10', '3.1', '0.31e1' → '3.1' (integral? no —
+    → '3.100000000000e+00' for all three); '15551234567' → '15551234567'.
+    Non-finite values (nan/inf) → NULL (dropped at extraction)."""
     if dialect == DUCKDB:
         x = f"TRY_CAST(trim({c}) AS DOUBLE)"
-        return (f"CASE WHEN {x} = floor({x}) AND abs({x}) < 9e18 "
+        return (f"CASE WHEN isnan({x}) OR isinf({x}) THEN NULL "
+                f"WHEN {x} = floor({x}) AND abs({x}) < 9e18 "
                 f"THEN CAST(CAST({x} AS BIGINT) AS VARCHAR) "
-                f"ELSE CAST({x} AS VARCHAR) END")
+                f"ELSE printf('%.12e', {x}) END")
     x = f"try_cast(trim({c}) AS DOUBLE)"
-    return (f"CASE WHEN {x} = floor({x}) AND abs({x}) < 9e18 "
+    # NULL guard first: format_string('%e', NULL) renders the string 'null'
+    return (f"CASE WHEN {x} IS NULL OR isnan({x}) "
+            f"OR abs({x}) = CAST('Infinity' AS DOUBLE) THEN NULL "
+            f"WHEN {x} = floor({x}) AND abs({x}) < 9e18 "
             f"THEN CAST(CAST({x} AS BIGINT) AS STRING) "
-            f"ELSE CAST({x} AS STRING) END")
+            f"ELSE format_string('%.12e', {x}) END")
 
 
 def norm_bool(c: str, dialect: str) -> str:

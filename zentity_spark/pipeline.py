@@ -38,6 +38,7 @@ class ResolutionJob:
         self.spark = spark
         self.docs = docs
         self._ckpt_dir = checkpoint_dir
+        self._owns_ckpt_dir = checkpoint_dir is None
         self.plan: CompiledPlan = compile_model(
             model, scope or DEFAULT_SCOPE, block_cap)
         if any(m.kind == "jaro_winkler" for m in model.matchers.values()):
@@ -57,9 +58,11 @@ class ResolutionJob:
 
     def stage(self, select: str, upto: str | None = None,
               extra: list | None = None) -> DataFrame:
+        # snapshot: materialize() worker threads mutate self._replace under
+        # their lock; rendering must not iterate the live dict
         return self.spark.sql(
             self.plan.sql(D.SPARK, self._view, select, upto=upto,
-                          extra=extra, replace=self._replace))
+                          extra=extra, replace=dict(self._replace)))
 
     # attrs first (everything derives from it), then keys and wide-vals as
     # CONCURRENT Spark jobs; vals_x stays a CTE (only wide-vals and
@@ -84,35 +87,80 @@ class ResolutionJob:
         import time as _t
         if self._ckpt_dir is None:
             self._ckpt_dir = tempfile.mkdtemp(prefix="zentity_stage_")
+            self._owns_ckpt_dir = True
         os.makedirs(self._ckpt_dir, exist_ok=True)
-        lock = threading.Lock()
-
-        def run_one(st: str) -> None:
-            path = os.path.join(self._ckpt_dir, st)
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                t0 = _t.time()
-                self.stage(f"SELECT * FROM {st}", upto=st) \
-                    .write.mode("overwrite").parquet(path)
-                n = self.spark.read.parquet(path).count()
-                with lock:
-                    self._metric(st, n, (_t.time() - t0) * 1000)
-            with lock:
-                self._replace[st] = f"parquet.`{path}`"
+        self._check_fingerprint()
 
         for level in stages:
             todo = [st for st in level if st not in self._replace]
-            if len(todo) == 1:
-                run_one(todo[0])
-                continue
-            threads = [threading.Thread(target=run_one, args=(st,))
-                       for st in todo]
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join()
+            # pre-render every stage's SQL BEFORE starting threads: worker
+            # threads must not call stage() (which reads self._replace)
+            # while the level's fast-path updates land
+            jobs = []
+            for st in todo:
+                path = os.path.join(self._ckpt_dir, st)
+                if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                    jobs.append((st, path,
+                                 self.stage(f"SELECT * FROM {st}", upto=st)))
+
+            def run_one(st: str, path: str, df: DataFrame) -> None:
+                from pyspark.sql import Observation
+                t0 = _t.time()
+                # Observation: row count piggybacks on the write job — no
+                # post-write re-read pass for lineage metrics
+                obs = Observation()
+                df.observe(obs, F.count(F.lit(1)).alias("n")) \
+                    .write.mode("overwrite").parquet(path)
+                self._metric(st, obs.get["n"], (_t.time() - t0) * 1000)
+
+            if len(jobs) == 1:
+                run_one(*jobs[0])
+            elif jobs:
+                threads = [threading.Thread(target=run_one, args=j)
+                           for j in jobs]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+            for st in todo:
+                path = os.path.join(self._ckpt_dir, st)
+                self._replace[st] = f"parquet.`{path}`"
 
     def unpersist(self) -> None:
+        """drop stage substitutions and remove the job-owned scratch dir
+        (user-supplied checkpoint dirs are never deleted)."""
         self._replace.clear()
+        if self._owns_ckpt_dir and self._ckpt_dir is not None:
+            import shutil
+            shutil.rmtree(self._ckpt_dir, ignore_errors=True)
+            self._ckpt_dir = None
+
+    def fingerprint(self) -> str:
+        """identity of (model, scope, block_cap, input files): a checkpoint
+        dir written under one fingerprint must not be resumed under another
+        — stale stage parquet would silently join against new docs."""
+        import hashlib
+        files = ";".join(sorted(self.docs.inputFiles()))
+        body = "|".join([
+            self.plan.model.to_json(), repr(self.plan.scope),
+            str(self.plan.block_cap), files])
+        return hashlib.md5(body.encode()).hexdigest()
+
+    def _check_fingerprint(self) -> None:
+        fp_path = os.path.join(self._ckpt_dir, "fingerprint.txt")
+        fp = self.fingerprint()
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                prev = f.read().strip()
+            if prev != fp:
+                raise ValueError(
+                    f"checkpoint dir {self._ckpt_dir} was written for a "
+                    f"different (model, scope, block_cap, docs) — refusing "
+                    f"to resume (stale fingerprint {prev[:12]}…, current "
+                    f"{fp[:12]}…). Use a fresh --checkpoint-dir.")
+        else:
+            with open(fp_path, "w") as f:
+                f.write(fp)
 
     # ---------- checkpointed execution (SURVEY §5.3 resume/lineage, M7) ----------
 
@@ -130,12 +178,14 @@ class ResolutionJob:
         The restart contract: overwrite-by-stage, so a killed run resumes
         from the last completed stage with identical results."""
         import time as _t
+        from pyspark.sql import Observation
         path = os.path.join(self._ckpt_dir, name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             t0 = _t.time()
-            build().write.mode("overwrite").parquet(path)
-            df = self.spark.read.parquet(path)
-            self._metric(name, df.count(), (_t.time() - t0) * 1000)
+            obs = Observation()
+            build().observe(obs, F.count(F.lit(1)).alias("n")) \
+                .write.mode("overwrite").parquet(path)
+            self._metric(name, obs.get["n"], (_t.time() - t0) * 1000)
         return self.spark.read.parquet(path)
 
     def run_checkpointed(self) -> DataFrame:
