@@ -282,7 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "er_input_seeded": _oracle_input_seeded(),
         "er_media_spans": _oracle_media(),
         "er_explanations": _oracle_stage(
-            "SELECT doc_id_a, doc_id_b, resolver, attr, matcher, s "
+            "SELECT doc_id_a, doc_id_b, resolver, attr, field, matcher, s "
             "FROM explain_x", upto="explain_x"),
         "er_pair_scores": _oracle_stage(
             "SELECT doc_id_a, doc_id_b, score FROM pair_scores_x",

@@ -165,3 +165,43 @@ def test_s9_media_passthrough(spark, model):
                                 ("text", "tel=15553330001", "")]
     assert rows["b-000001"][2] == ("media", "", "media://0003")
     assert clusters_of(out) == {frozenset({"a-000001", "b-000001"})}
+
+
+FIELD_SCOPE_MODEL = """
+{
+  "attributes": {"name": {"type": "string", "params": {"normalizer": "name"}},
+                 "acct": {"type": "string"}},
+  "resolvers": {"r_name_acct": {"attributes": ["name", "acct"]}},
+  "matchers": {"exact": {"clause": {"term": {"{{ field }}": "{{ value }}"}}},
+               "phon": {"type": "phonetic", "params": {"operator": "and"}}},
+  "indices": {"a": {"fields": {
+    "legal_name": {"attribute": "name", "matcher": "exact"},
+    "nickname":   {"attribute": "name", "matcher": "phon"},
+    "acct":       {"attribute": "acct", "matcher": "exact"}}}}
+}
+"""
+
+
+def test_field_scoped_matcher_binding(spark):
+    """matchers bind to concrete index fields (IndexField.java): a value
+    extracted via legal_name (matcher=exact) must NOT phonetic-match — the
+    phonetic leaf targets the nickname field, and a doc holding no nickname
+    value cannot satisfy it.  A doc that DOES hold a nickname value matches
+    any harvested name value phonetically (query side is field-less)."""
+    from zentity_spark.model import Model
+    m = Model.parse(FIELD_SCOPE_MODEL)
+    docs = make_docs(spark, [
+        # phonetic-equal, not exact-equal legal names; no nicknames →
+        # the reference would NOT merge these (only exact targets legal_name)
+        ("a-000001", [("legal_name", "jon smith"), ("acct", "K1")]),
+        ("a-000002", [("legal_name", "john smith"), ("acct", "K1")]),
+        # positive control: a doc holding a nickname value — the phonetic
+        # leaf on ITS nickname field fires against the other doc's
+        # harvested legal value (query side is field-less)
+        ("a-000003", [("nickname", "jon smyth"), ("acct", "K2")]),
+        ("a-000004", [("legal_name", "jon smith"), ("acct", "K2")]),
+    ])
+    got = clusters_of(ResolutionJob(spark, docs, m, scope=Scope()).clusters())
+    assert got == {frozenset({"a-000001"}),
+                   frozenset({"a-000002"}),
+                   frozenset({"a-000003", "a-000004"})}

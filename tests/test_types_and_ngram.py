@@ -115,3 +115,48 @@ def test_f1_gate_sf001(spark, model):
             .where("n > 1").count()) == 0
     assert (j.groupBy("entity_id").agg(F.countDistinct("person_id").alias("n"))
             .where("n > 1").count()) == 0
+
+
+def test_date_format_param_cross_engine(spark):
+    """norm_date honors the model's date format param in both dialects;
+    unparseable values → NULL (not an error)."""
+    vals = ["02/03/1984", "31/12/1999", "1984-03-02", "nope"]
+    got = _agree(spark, lambda c, d: D.norm_date(c, d, "dd/MM/yyyy"), vals)
+    assert got == ["1984-03-02", "1999-12-31", None, None]
+
+
+DMY_MODEL = """
+{
+  "attributes": {"dob": {"type": "date",
+                         "params": {"format": "dd/MM/yyyy"}},
+                 "acct": {"type": "string"}},
+  "resolvers": {"r": {"attributes": ["acct", "dob"]}},
+  "matchers": {"x": {"clause": {"term": {"{{ field }}": "{{ value }}"}}},
+               "win": {"clause": {"range": {"{{ field }}": {
+                   "gte": "{{ value }}||-{{ params.window }}",
+                   "lte": "{{ value }}||+{{ params.window }}"}}},
+                "params": {"window": "2d"}}},
+  "indices": {"a": {"fields": {
+    "acct": {"attribute": "acct", "matcher": "x"},
+    "born": {"attribute": "dob", "matcher": "win"}}}}
+}
+"""
+
+
+def test_non_iso_date_format_end_to_end(spark):
+    """a model with dd/MM/yyyy dates: values are parsed (NOT silently
+    dropped) and the date-window matcher works on the canonical form."""
+    m = Model.parse(DMY_MODEL)
+    docs = make_docs(spark, [
+        ("a-000001", [("acct", "K1"), ("born", "02/03/1984")]),
+        ("a-000002", [("acct", "K1"), ("born", "03/03/1984")]),  # +1d → in window
+        ("a-000003", [("acct", "K1"), ("born", "20/07/1984")]),  # far → out
+    ])
+    job = ResolutionJob(spark, docs, m, scope=Scope())
+    vals = {(r["doc_id"], r["value_norm"])
+            for r in job.attrs().where("attr = 'dob'").collect()}
+    assert vals == {("a-000001", "1984-03-02"), ("a-000002", "1984-03-03"),
+                    ("a-000003", "1984-07-20")}
+    got = clusters_of(job.clusters())
+    assert got == {frozenset({"a-000001", "a-000002"}),
+                   frozenset({"a-000003"})}

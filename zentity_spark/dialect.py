@@ -68,12 +68,29 @@ def norm_city(c: str, dialect: str) -> str:
     return f"trim({x})"
 
 
-def norm_date(c: str, dialect: str) -> str:
-    """canonical yyyy-MM-dd string (zentity date canonical serialization,
-    ``resolution/input/value/DateValue.java`` ≈L20-120)."""
+# Java DateTimeFormatter tokens → C strptime tokens (DuckDB side).  Order
+# matters: longest tokens first so 'MM' is consumed before 'M' etc.
+JAVA2C_DATE = [("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
+               ("HH", "%H"), ("mm", "%M"), ("ss", "%S")]
+
+
+def java_date_fmt_to_c(fmt: str) -> str:
+    out = fmt
+    for j, c in JAVA2C_DATE:
+        out = out.replace(j, c)
+    return out
+
+
+def norm_date(c: str, dialect: str, fmt: str = "yyyy-MM-dd") -> str:
+    """parse with the model's date ``format`` param (``model/Attribute.java``
+    params → ``resolution/input/value/DateValue.java`` ≈L20-120), serialize
+    to the canonical yyyy-MM-dd form.  Unparseable values → NULL (dropped at
+    extraction, like the reference dropping invalid typed values)."""
     if dialect == DUCKDB:
-        return f"strftime(TRY_CAST(trim({c}) AS DATE), '%Y-%m-%d')"
-    return f"date_format(to_date(trim({c}), 'yyyy-MM-dd'), 'yyyy-MM-dd')"
+        return (f"strftime(try_strptime(trim({c}), "
+                f"'{java_date_fmt_to_c(fmt)}'), '%Y-%m-%d')")
+    return (f"date_format(try_to_timestamp(trim({c}), '{fmt}'), "
+            f"'yyyy-MM-dd')")
 
 
 def norm_none(c: str, dialect: str) -> str:

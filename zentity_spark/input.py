@@ -66,7 +66,7 @@ def build_probe(spark, plan, attributes=None, terms=None) -> dict:
 
     probe: dict = {}
     for a, vs in raw.items():
-        expr = D.NORMALIZERS[plan.normalizer(a)]("c", D.SPARK)
+        expr = plan.norm_sql(a, "c", D.SPARK)
         rows = ", ".join("('" + v.replace("'", "''") + "')" for v in set(vs))
         got = spark.sql(
             f"SELECT DISTINCT {expr} AS v FROM (VALUES {rows}) AS t(c)"

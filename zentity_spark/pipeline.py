@@ -65,12 +65,17 @@ class ResolutionJob:
                           extra=extra, replace=dict(self._replace)))
 
     # attrs first (everything derives from it), then keys and wide-vals as
-    # CONCURRENT Spark jobs; vals_x stays a CTE (only wide-vals and
-    # attributes_map read it — a separate materialization is a wasted
-    # barrier)
-    MAT_STAGES = (("attrs_x",), ("keys_x", "vals_wide_x"))
+    # CONCURRENT Spark jobs, then the per-resolver composite-key tables
+    # (referenced 3× each by the skew-aware cap/pair plan: hot-key stats,
+    # cold anti-join, hot semi-join — materializing avoids recomputing the
+    # key joins per reference).  vals_x stays a CTE (only attributes_map
+    # reads it — a separate materialization is a wasted barrier).
+    def mat_stages(self):
+        cks = tuple(f"ck_{r.name}" for r in self.plan.active_resolvers())
+        levels = (("attrs_x",), ("keys_x", "vals_wide_x"))
+        return levels + ((cks,) if cks else ())
 
-    def materialize(self, stages=MAT_STAGES) -> None:
+    def materialize(self, stages=None) -> None:
         """write the fan-out stages to parquet once and substitute file
         scans for their CTEs (idempotent); independent stages within one
         dependency level run as concurrent Spark jobs from threads.
@@ -85,6 +90,8 @@ class ResolutionJob:
         """
         import threading
         import time as _t
+        if stages is None:
+            stages = self.mat_stages()
         if self._ckpt_dir is None:
             self._ckpt_dir = tempfile.mkdtemp(prefix="zentity_stage_")
             self._owns_ckpt_dir = True
@@ -218,6 +225,7 @@ class ResolutionJob:
         return self.stage("SELECT doc_id, attr, key FROM keys_x", upto="keys_x")
 
     def candidate_pairs(self) -> DataFrame:
+        self.materialize()
         return self.stage(
             "SELECT doc_id_a, doc_id_b, resolver FROM pairs_x", upto="pairs_x")
 
@@ -231,7 +239,7 @@ class ResolutionJob:
         """exploded match lineage (pair, resolver, attribute, matcher, s) —
         ≙ the `_explanation` matches array (SURVEY row 32)."""
         return self.stage(
-            "SELECT doc_id_a, doc_id_b, resolver, attr, matcher, s "
+            "SELECT doc_id_a, doc_id_b, resolver, attr, field, matcher, s "
             "FROM explain_x", upto="explain_x")
 
     def pair_scores(self) -> DataFrame:
@@ -250,13 +258,13 @@ class ResolutionJob:
         ex = self.explanations()
         both = ex.selectExpr(
             "doc_id_a AS doc_id", "doc_id_b AS other_doc",
-            "resolver", "attr", "matcher", "s",
+            "resolver", "attr", "field", "matcher", "s",
         ).unionByName(ex.selectExpr(
             "doc_id_b AS doc_id", "doc_id_a AS other_doc",
-            "resolver", "attr", "matcher", "s"))
+            "resolver", "attr", "field", "matcher", "s"))
         return both.groupBy("doc_id").agg(
             F.sort_array(F.collect_list(F.struct(
-                "resolver", "attr", "matcher", "other_doc", "s"
+                "resolver", "attr", "field", "matcher", "other_doc", "s"
             ))).alias("explanation"))
 
     def clusters(self, edges: DataFrame | None = None) -> DataFrame:

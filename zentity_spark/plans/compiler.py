@@ -27,11 +27,21 @@ Design notes (scale):
   * Every leaf expression comes from ``zentity_spark.dialect`` so the DuckDB
     correctness oracle runs the byte-same logic (SURVEY §6.2).
 
-Field-scoping deviation (documented): the reference binds each matcher to a
-concrete target index field; verification here applies the OR of all matchers
-mapped to an attribute to all of that attribute's extracted values
-(field-agnostic).  Index-applicability pruning (row 15) is preserved — a
-source that maps no field for an attribute contributes no values.
+Field-scoped matcher binding (``model/IndexField.java::attribute/matcher``
+≈L15-90): each matcher is bound to a concrete index field.  In the reference,
+harvested values lose field provenance (they live in the attribute's value
+set) and every value is queried against every mapped field WITH THAT FIELD'S
+matcher; a doc matches the attribute clause iff some (field, matcher) leaf
+matches the doc's content AT that field.  The batch pair semantics are
+therefore: pair (A, B) matches attribute `a` iff for some binding (F, M),
+M matches a value A holds at field F against any of B's values of `a`
+(or symmetrically B's F-values against A's values).  Verification flags and
+explanation rows are per (attribute, field, matcher) binding.  Blocking keys
+remain field-agnostic — the query side of a reference leaf takes values from
+ALL fields, so field-agnostic key emission is exactly the recall the
+reference's query tree has (verification then enforces the field scope).
+Index-applicability pruning (row 15) is preserved — a source that maps no
+field for an attribute contributes no values.
 """
 
 from __future__ import annotations
@@ -86,6 +96,15 @@ class CompiledPlan:
     model: Model
     scope: Scope = dc_field(default_factory=Scope)
     block_cap: int = DEFAULT_BLOCK_CAP
+    # skew controls (SURVEY §5.3 axis A).  Keys with more than
+    # min(salt_min, block_cap) docs are "hot": their cap runs as a two-phase
+    # top-N (presalt_cells partial windows → tiny final window) so no task
+    # ever sorts a whole hot block, and their pair generation is split
+    # triangularly across salt_cells² cell-pairs so no task emits a whole
+    # block's pairs.  Cold keys skip windows entirely.
+    salt_min: int = 256
+    salt_cells: int = 8
+    presalt_cells: int = 32
 
     # ---------- plan-time lookups ----------
 
@@ -98,6 +117,15 @@ class CompiledPlan:
         # subclasses' serialize(), SURVEY row 28)
         return {"date": "date", "number": "number",
                 "boolean": "bool"}.get(a.type, "none")
+
+    def norm_sql(self, attr: str, col: str, dialect: str) -> str:
+        """normalizer expression for one attribute; date normalizers honor
+        the model's ``params.format`` (``DateValue.java`` parse format)."""
+        n = self.normalizer(attr)
+        if n == "date":
+            fmt = self.model.attributes[attr].params.get("format", "yyyy-MM-dd")
+            return D.norm_date(col, dialect, fmt)
+        return D.NORMALIZERS[n](col, dialect)
 
     def field_map(self):
         """[(source, span_field, attr)] distinct extraction mappings."""
@@ -113,7 +141,9 @@ class CompiledPlan:
 
     def attr_matchers(self, attr: str):
         """[(matcher_name, Matcher, max_field_quality)] mapped to attr
-        across active sources (field-agnostic union, see module doc)."""
+        across active sources — used for KEY emission only (the query side
+        of a reference leaf probes every field with every harvested value,
+        so key emission is field-agnostic; see module doc)."""
         best: dict = {}
         for src, ix in self.model.indices.items():
             if not self.scope.source_active(src):
@@ -126,6 +156,32 @@ class CompiledPlan:
                 if cur is None or q > cur:
                     best[f.matcher] = q
         return [(m, self.model.matchers[m], best[m]) for m in sorted(best)]
+
+    def attr_bindings(self, attr: str):
+        """[(span_field, matcher_name, Matcher, field_quality)] — the
+        distinct (field → matcher) bindings mapped to attr across active
+        sources (``model/IndexField.java`` bindings; multi-fields like
+        ``full_name.phonetic`` scope to their base span field).  Quality is
+        the max across sources declaring the same binding (the reference
+        scores per (attr, matcher, index, field); we collapse the index
+        dimension — documented granularity choice)."""
+        best: dict = {}
+        for src, ix in self.model.indices.items():
+            if not self.scope.source_active(src):
+                continue
+            for f in ix.fields:
+                if f.attribute != attr or f.matcher is None:
+                    continue
+                q = f.quality if f.quality is not None else 1.0
+                k = (f.span_field, f.matcher)
+                if k not in best or q > best[k]:
+                    best[k] = q
+        return [(fld, mn, self.model.matchers[mn], best[(fld, mn)])
+                for fld, mn in sorted(best)]
+
+    def attr_fields(self, attr: str):
+        """sorted distinct span fields bound (with a matcher) to attr."""
+        return sorted({fld for fld, _mn, _m, _q in self.attr_bindings(attr)})
 
     def active_resolvers(self):
         out = []
@@ -171,7 +227,7 @@ class CompiledPlan:
         via the fieldmap join, normalize (≙ attribute-value harvesting,
         Job.java hit-parsing ≈L1000-1150, SURVEY row 22)."""
         norm_branches = " ".join(
-            f"WHEN attr = {_q(a)} THEN {D.NORMALIZERS[self.normalizer(a)]('value_raw', dialect)}"
+            f"WHEN attr = {_q(a)} THEN {self.norm_sql(a, 'value_raw', dialect)}"
             for a in sorted(self.model.attributes)
         )
         excl = ""
@@ -300,31 +356,99 @@ class CompiledPlan:
             sel = f"xxhash64({', '.join(cols)})"
         return f"SELECT t0.doc_id AS doc_id, {sel} AS ckey FROM {sql}"
 
-    def sql_pairs(self, dialect: str) -> str:
-        """blocked self-join per resolver with per-block cap
-        (row_number ≤ cap ≙ max_docs_per_query, SURVEY row 1/§3b limits),
-        then union over resolvers."""
-        parts = []
-        for r in self.active_resolvers():
-            ck = f"ck_{r.name}"
-            parts.append(
-                f"SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
-                f"{_q(r.name)} AS resolver "
-                f"FROM {ck}_capped a JOIN {ck}_capped b "
-                f"ON a.ckey = b.ckey AND a.doc_id < b.doc_id"
+    @property
+    def hot_threshold(self) -> int:
+        return min(self.salt_min, self.block_cap)
+
+    def sql_ck_stats(self, r, dialect: str) -> str:
+        """hot-key list for one resolver: keys whose block exceeds the hot
+        threshold (partial-aggregated count — no skew; the result is tiny
+        and broadcast into the capped/pair branches)."""
+        return (f"SELECT ckey FROM ck_{r.name} GROUP BY ckey "
+                f"HAVING count(*) > {self.hot_threshold}")
+
+    def sql_ck_capped(self, r, dialect: str) -> str:
+        """per-block cap (row_number ≤ cap ≙ max_docs_per_query,
+        ``Job.java`` DEFAULT_MAX_DOCS_PER_QUERY).
+
+        Spark: cold keys (≤ hot_threshold docs — i.e. never trimmed by the
+        cap) bypass the window entirely via an anti-join against the hot
+        list; hot keys run a TWO-PHASE top-cap: a partial window per
+        (ckey, presalt cell) bounds any single task's sort at
+        block/presalt_cells rows, then the final window sees at most
+        presalt_cells·cap rows per key.  A 10⁶-doc hot block never lands in
+        one task.  DuckDB keeps the naive single window — result sets are
+        identical (the global top-cap rows survive phase 1 by construction).
+        """
+        if dialect == D.DUCKDB:
+            return (
+                "SELECT doc_id, ckey FROM ("
+                f"  SELECT doc_id, ckey, row_number() OVER "
+                f"  (PARTITION BY ckey ORDER BY doc_id) AS rn FROM ck_{r.name}"
+                f") WHERE rn <= {self.block_cap}"
             )
+        ck, st = f"ck_{r.name}", f"ck_{r.name}_stats"
+        return (
+            f"SELECT c.doc_id, c.ckey, FALSE AS big FROM {ck} c "
+            f"LEFT ANTI JOIN {st} s ON s.ckey = c.ckey "
+            "UNION ALL "
+            "SELECT doc_id, ckey, TRUE AS big FROM ("
+            "  SELECT doc_id, ckey, row_number() OVER "
+            "  (PARTITION BY ckey ORDER BY doc_id) AS rn FROM ("
+            "    SELECT c.doc_id, c.ckey, row_number() OVER "
+            "    (PARTITION BY c.ckey, pmod(xxhash64(c.doc_id), "
+            f"{self.presalt_cells}) ORDER BY c.doc_id) AS rn1 "
+            f"    FROM {ck} c JOIN {st} s ON s.ckey = c.ckey"
+            f"  ) WHERE rn1 <= {self.block_cap}"
+            f") WHERE rn <= {self.block_cap}"
+        )
+
+    def _sql_pairs_resolver(self, r, dialect: str) -> str:
+        """pair stream for one resolver.  Spark: cold blocks self-join
+        directly; hot blocks split triangularly — every doc lands in one of
+        salt_cells cells by doc-id hash, and cell-pair (i ≤ j) is produced
+        by exactly one join partition, so a capped hot block's ~cap²/2
+        pairs are emitted by ~cells²/2 tasks instead of one."""
+        ck = f"ck_{r.name}_capped"
+        simple = (
+            f"SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+            f"{_q(r.name)} AS resolver "
+            f"FROM {ck} a JOIN {ck} b "
+            f"ON a.ckey = b.ckey AND a.doc_id < b.doc_id"
+        )
+        if dialect == D.DUCKDB:
+            return simple
+        S = self.salt_cells
+        cells = (f"SELECT doc_id, ckey, CAST(pmod(xxhash64(doc_id), {S}) "
+                 f"AS INT) AS cell FROM {ck} WHERE big")
+        return (
+            f"SELECT DISTINCT doc_id_a, doc_id_b, {_q(r.name)} AS resolver "
+            "FROM ("
+            f"  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+            f"  FROM {ck} a JOIN {ck} b "
+            f"  ON a.ckey = b.ckey AND a.doc_id < b.doc_id "
+            f"  WHERE NOT a.big "
+            "  UNION ALL "
+            "  SELECT least(l.doc_id, rr.doc_id) AS doc_id_a, "
+            "         greatest(l.doc_id, rr.doc_id) AS doc_id_b "
+            f"  FROM (SELECT doc_id, ckey, cell, "
+            f"        explode(sequence(cell, {S - 1})) AS j FROM ({cells})) l "
+            f"  JOIN (SELECT doc_id, ckey, cell, "
+            f"        explode(sequence(0, cell)) AS i FROM ({cells})) rr "
+            "  ON l.ckey = rr.ckey AND l.j = rr.cell AND rr.i = l.cell "
+            "  AND (l.cell <> rr.cell OR l.doc_id < rr.doc_id)"
+            ")"
+        )
+
+    def sql_pairs(self, dialect: str) -> str:
+        """blocked self-join per resolver with per-block cap, skew-aware on
+        the Spark side (SURVEY §5.3 axis A), then union over resolvers."""
+        parts = [self._sql_pairs_resolver(r, dialect)
+                 for r in self.active_resolvers()]
         if not parts:
             return ("SELECT '' AS doc_id_a, '' AS doc_id_b, "
                     "'' AS resolver WHERE 1=0")
         return " UNION ALL ".join(parts)
-
-    def sql_ck_capped(self, r, dialect: str) -> str:
-        return (
-            "SELECT doc_id, ckey FROM ("
-            f"  SELECT doc_id, ckey, row_number() OVER "
-            f"  (PARTITION BY ckey ORDER BY doc_id) AS rn FROM ck_{r.name}"
-            f") WHERE rn <= {self.block_cap}"
-        )
 
     # ---------- verification predicates ----------
 
@@ -406,36 +530,73 @@ class CompiledPlan:
         return (f"SELECT doc_id, attr, {agg} AS vlist "
                 f"FROM attrs_x GROUP BY doc_id, attr")
 
+    def _vlist_agg(self, cond: str, dialect: str) -> str:
+        """sorted distinct value list aggregate under a FILTER condition."""
+        if dialect == D.DUCKDB:
+            return (f"list_sort(list_distinct(list(value_norm) "
+                    f"FILTER (WHERE {cond})))")
+        return f"sort_array(collect_set(value_norm) FILTER (WHERE {cond}))"
+
     def sql_vals_wide(self, dialect: str) -> str:
         """one row per doc with a vlist column per scored attribute — the
         verification joins hit this ONCE per pair side instead of once per
         (pair side × attribute), cutting 2N shuffle joins to 2 per
-        resolver (the pair table is the biggest relation in the plan)."""
-        cols = ", ".join(
-            f"max(CASE WHEN attr = {_q(a)} THEN vlist END) AS vl_{i}"
-            for i, a in enumerate(self.scored_attrs()))
-        return f"SELECT doc_id, {cols} FROM vals_x GROUP BY doc_id"
+        resolver (the pair table is the biggest relation in the plan).
+
+        ``vl_{i}``: all values of attribute i.  ``vlf_{i}_{j}``: values
+        extracted at span field j of attribute i — the target side of a
+        field-scoped matcher binding (only emitted for attributes mapped
+        through more than one field; a single-field attribute's scoped list
+        IS vl_{i})."""
+        cols = []
+        for i, a in enumerate(self.scored_attrs()):
+            cols.append(f"{self._vlist_agg(f'attr = {_q(a)}', dialect)} AS vl_{i}")
+            fields = self.attr_fields(a)
+            if len(fields) > 1:
+                for j, fld in enumerate(fields):
+                    cond = f"attr = {_q(a)} AND field = {_q(fld)}"
+                    cols.append(f"{self._vlist_agg(cond, dialect)} AS vlf_{i}_{j}")
+        return (f"SELECT doc_id, {', '.join(cols)} "
+                f"FROM attrs_x GROUP BY doc_id")
+
+    def binding_flag(self, attr: str, k: int, fld: str, m, wa: str, wb: str,
+                     dialect: str) -> str:
+        """∃-match flag for one (field, matcher) binding on a pair:
+        one side's values AT the bound field against the other side's full
+        value set, both directions (field-scoped target ≙ the reference
+        querying field F with every harvested value — module doc)."""
+        fields = self.attr_fields(attr)
+        if len(fields) == 1:
+            # single-field attribute: the scoped list IS the full list, and
+            # the matcher predicate is symmetric — one flag suffices
+            return self.matcher_flag(m, f"{wa}.vl_{k}", f"{wb}.vl_{k}", dialect)
+        j = fields.index(fld)
+        return ("(" + self.matcher_flag(
+                    m, f"{wa}.vlf_{k}_{j}", f"{wb}.vl_{k}", dialect)
+                + " OR " + self.matcher_flag(
+                    m, f"{wb}.vlf_{k}_{j}", f"{wa}.vl_{k}", dialect) + ")")
 
     def sql_edges_resolver(self, r, dialect: str) -> str:
-        """verified edges for one resolver, WITH per-(attribute, matcher)
-        match-flag lineage columns ``f_{i}_{j}`` (≙ ES named leaf queries +
-        ``matched_queries`` decoding, ``Job.java`` `_name` assembly ≈L380-430
-        & hit loop ≈L1050-1150, SURVEY row 19 — we never erase provenance, so
-        there is nothing to decode)."""
+        """verified edges for one resolver, WITH per-(attribute, field,
+        matcher) match-flag lineage columns ``f_{i}_{j}`` (≙ ES named leaf
+        queries + ``matched_queries`` decoding, ``Job.java`` `_name` assembly
+        ≈L380-430 & hit loop ≈L1050-1150, SURVEY row 19 — we never erase
+        provenance, so there is nothing to decode).  j indexes the
+        attribute's (field, matcher) bindings, sorted."""
         attr_idx = {a: i for i, a in enumerate(self.scored_attrs())}
         conds = []
         flags = []
         for i, a in enumerate(r.attributes):
             k = attr_idx[a]
             m_flags = []
-            for j, (mname, m, _fq) in enumerate(self.attr_matchers(a)):
+            for j, (fld, _mname, m, _fq) in enumerate(self.attr_bindings(a)):
                 fcol = f"f_{i}_{j}"
                 m_flags.append(fcol)
                 # coalesce: a doc lacking the attribute has a NULL vlist
                 # (wide-vals left shape) and must NOT match
                 flags.append(
                     "coalesce("
-                    + self.matcher_flag(m, f"wa.vl_{k}", f"wb.vl_{k}", dialect)
+                    + self.binding_flag(a, k, fld, m, "wa", "wb", dialect)
                     + f", FALSE) AS {fcol}")
             conds.append("(" + " OR ".join(m_flags) + ")")
         # pairs_x is already DISTINCT per resolver branch — no re-dedup
@@ -452,10 +613,13 @@ class CompiledPlan:
 
     # ---------- scoring & explanation (SURVEY rows 26-27, 32; Appendix B) ----------
 
-    def identity_score(self, attr: str, matcher_name: str) -> float | None:
+    def identity_score(self, attr: str, matcher_name: str,
+                       field_quality: float | None = None) -> float | None:
         """attribute identity confidence
         ``s = 0.5 + (attr_score − 0.5) · q_matcher · q_field``; missing
         qualities ≙ 1.0, missing attr_score → no contribution (None).
+        ``field_quality`` is the binding's field quality (pass it from
+        ``attr_bindings``); omitted → max across the matcher's bindings.
         Precomputed at plan time, ≙ the reference's memoized
         ``Job.java::calculateAttributeIdentityConfidenceScore`` cache
         (≈L100-150) — the domain is tiny, so it compiles to literals."""
@@ -464,10 +628,12 @@ class CompiledPlan:
             return None
         m = self.model.matchers[matcher_name]
         q_m = m.quality if m.quality is not None else 1.0
-        q_f = 1.0
-        for mn, _m, fq in self.attr_matchers(attr):
-            if mn == matcher_name:
-                q_f = fq
+        q_f = field_quality
+        if q_f is None:
+            q_f = 1.0
+            for mn, _m, fq in self.attr_matchers(attr):
+                if mn == matcher_name:
+                    q_f = fq
         return 0.5 + (a.score - 0.5) * q_m * q_f
 
     def scored_attrs(self):
@@ -477,24 +643,27 @@ class CompiledPlan:
     def sql_explain(self, dialect: str) -> str:
         """exploded lineage rows (≙ `_explanation` matches array, Job.java
         explanation block ≈L1050-1200): one row per (pair, resolver,
-        attribute, matcher) that matched, with the identity score s."""
+        attribute, target field, matcher) binding that matched, with the
+        identity score s (≙ the reference's per-match `target_field` /
+        `input_matcher` entries)."""
         parts = []
         for r in self.active_resolvers():
             for i, a in enumerate(r.attributes):
-                for j, (mname, _m, _fq) in enumerate(self.attr_matchers(a)):
-                    s = self.identity_score(a, mname)
+                for j, (fld, mname, _m, fq) in enumerate(self.attr_bindings(a)):
+                    s = self.identity_score(a, mname, fq)
                     # CAST, not a bare literal: Spark parses bare decimals as
                     # DECIMAL(p,s) and the conflation would run in decimal math
                     s_sql = ("CAST(NULL AS DOUBLE)" if s is None
                              else f"CAST({s!r} AS DOUBLE)")
                     parts.append(
                         f"SELECT doc_id_a, doc_id_b, {_q(r.name)} AS resolver, "
-                        f"{_q(a)} AS attr, {_q(mname)} AS matcher, "
+                        f"{_q(a)} AS attr, {_q(fld)} AS field, "
+                        f"{_q(mname)} AS matcher, "
                         f"{s_sql} AS s FROM edges_{r.name} WHERE f_{i}_{j}")
         if not parts:
             return ("SELECT '' AS doc_id_a, '' AS doc_id_b, '' AS resolver, "
-                    "'' AS attr, '' AS matcher, CAST(NULL AS DOUBLE) AS s "
-                    "WHERE 1=0")
+                    "'' AS attr, '' AS field, '' AS matcher, "
+                    "CAST(NULL AS DOUBLE) AS s WHERE 1=0")
         return " UNION ALL ".join(parts)
 
     def _conflation(self, s_cols: list) -> str:
@@ -579,6 +748,7 @@ class CompiledPlan:
                     f"JOIN probe_keys_x p ON p.attr = k.attr AND p.key = k.key "
                     f"WHERE k.attr = {_q(a)})")
 
+        attr_idx = {a: i for i, a in enumerate(self.scored_attrs())}
         seed_parts = []
         for r in self.active_resolvers():
             if not all(a in probe and probe[a] for a in r.attributes):
@@ -590,12 +760,19 @@ class CompiledPlan:
             for i, a in enumerate(attrs):
                 if i > 0:
                     sql += f" JOIN {cand(a)} c{i} ON c{i}.doc_id = c0.doc_id"
-                sql += (f" JOIN vals_x dv{i} ON dv{i}.doc_id = c0.doc_id "
-                        f"AND dv{i}.attr = {_q(a)}")
-                m_flags = [
-                    self.matcher_flag(m, f"dv{i}.vlist", plist(a), dialect)
-                    for _, m, _fq in self.attr_matchers(a)]
+                # doc = target side of each (field, matcher) leaf: its
+                # F-scoped values vs the (field-less) probe values
+                k = attr_idx[a]
+                fields = self.attr_fields(a)
+                m_flags = []
+                for fld, _mn, m, _fq in self.attr_bindings(a):
+                    lst = (f"w.vl_{k}" if len(fields) == 1
+                           else f"w.vlf_{k}_{fields.index(fld)}")
+                    m_flags.append(
+                        f"coalesce({self.matcher_flag(m, lst, plist(a), dialect)}"
+                        ", FALSE)")
                 conds.append("(" + " OR ".join(m_flags) + ")")
+            sql += " JOIN vals_wide_x w ON w.doc_id = c0.doc_id"
             seed_parts.append(sql + " WHERE " + " AND ".join(conds))
         if not seed_parts:
             ctes.append(("seed_docs_x", "SELECT '' AS doc_id WHERE 1=0"))
@@ -617,6 +794,8 @@ class CompiledPlan:
         ]
         for r in self.active_resolvers():
             out.append((f"ck_{r.name}", self.sql_resolver_ck(r, dialect)))
+            if dialect == D.SPARK:
+                out.append((f"ck_{r.name}_stats", self.sql_ck_stats(r, dialect)))
             out.append((f"ck_{r.name}_capped", self.sql_ck_capped(r, dialect)))
         out.append(("pairs_x", self.sql_pairs(dialect)))
         out.append(("vals_x", self.sql_vals(dialect)))
@@ -663,6 +842,9 @@ class CompiledPlan:
 
 
 def compile_model(model: Model, scope: Scope | None = None,
-                  block_cap: int = DEFAULT_BLOCK_CAP) -> CompiledPlan:
+                  block_cap: int = DEFAULT_BLOCK_CAP,
+                  salt_min: int = 256, salt_cells: int = 8,
+                  presalt_cells: int = 32) -> CompiledPlan:
     return CompiledPlan(model=model, scope=scope or Scope(),
-                        block_cap=block_cap)
+                        block_cap=block_cap, salt_min=salt_min,
+                        salt_cells=salt_cells, presalt_cells=presalt_cells)
