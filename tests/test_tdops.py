@@ -132,3 +132,27 @@ def test_spark_td_queries_run(spark):
         n_s = spark.sql(s_sql).count()
         n_d = con.execute(f"SELECT count(*) FROM ({d_sql})").fetchone()[0]
         assert n_s == n_d, f"{name}: spark {n_s} != duckdb {n_d}"
+
+
+def test_ngram_df_cap_bounds_hot_shingle(duck):
+    """a boilerplate shingle shared by many docs must NOT generate the
+    quadratic candidate block (DF cap, SURVEY §5.3 scale hardening):
+    docs sharing ONLY the hot shingle produce no pairs, while genuine
+    near-dups (sharing rare shingles) still verify."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d3 (doc_id BIGINT, text VARCHAR)")
+    boiler = "all rights reserved"
+    rows = [(i, f"{boiler} unique{i} tokens{i} content{i} words{i}")
+            for i in range(50)]
+    # one genuine near-dup pair sharing plenty of rare shingles
+    rows.append((100, "the quick brown fox jumps over the lazy dog today"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog tonight"))
+    con.executemany("INSERT INTO d3 VALUES (?, ?)", rows)
+    sql = tdops.sql_ngram_jaccard_pairs("d3", D.DUCKDB, df_cap=10)
+    pairs = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assert pairs == {(100, 101)}
+    # candidate volume is bounded: the hot shingle contributes nothing
+    n_cand = con.execute(
+        "WITH " + sql.split("WITH ", 1)[1].rsplit("\n", 1)[0].rsplit(
+            ",\nnsh", 1)[0] + "\nSELECT count(*) FROM cand").fetchone()[0]
+    assert n_cand == 1

@@ -28,12 +28,24 @@ from zentity_spark import dialect as D
 MINHASH_K = 16          # minhash permutations
 MINHASH_BANDS = 8       # → rows-per-band r = K / BANDS = 2
 JACCARD_TAU = 0.2       # verify threshold for near-dup pairs
-SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 4      # 8-bit chunks for LSH blocking
+NGRAM_DF_CAP = 100      # shingles in more docs than this are not candidate
+                        # keys (a boilerplate shingle shared by 10⁶ docs
+                        # would otherwise make a 10¹² pair block); verify
+                        # still uses FULL shingle sets, so only pairs whose
+                        # EVERY shared shingle is hot lose recall
+SIMHASH_BITS = 48       # md5_int64 yields 60 usable bits; 48 keeps the
+                        # chunk weights in BIGINT and halves the collision
+                        # rate of a 32-bit signature at 10⁹+ docs
+SIMHASH_CHUNKS = 8      # 6-bit chunks: ham ≤ 6 over 8 chunks leaves ≥ 2
+                        # chunks intact (pigeonhole) → guaranteed recall,
+                        # not the heuristic a 4-chunk split gave
 SIMHASH_MAXHAM = 6
 FP_K = 4                # bottom-k fingerprint size
 TOPK = 5                # neighbors per vector
-ANN_BITS = 12           # sign-LSH hyperplanes
+ANN_TABLES = 4          # banded sign-LSH: independent hash tables; a pair
+                        # is a candidate if it collides in ANY table —
+                        # multi-probe recall a single 12-bit table lacks
+ANN_BITS = 10           # hyperplanes per table → 1024 buckets per table
 ANN_COS_TAU = 0.0       # report all in-bucket pairs above this cosine
 
 STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on", "for", "with")
@@ -214,13 +226,24 @@ def sql_minhash_pairs(rel: str, dialect: str) -> str:
                        f"WHERE jaccard >= {JACCARD_TAU!r}")
 
 
-def sql_ngram_jaccard_pairs(rel: str, dialect: str) -> str:
-    """n-gram Jaccard near-dup: candidates from any shared shingle (inverted
-    index join — the blocking key IS the shingle), verified ≥ tau.  Exact
-    recall for pairs above tau, unlike the MinHash probabilistic path."""
+def sql_ngram_jaccard_pairs(rel: str, dialect: str,
+                            df_cap: int = NGRAM_DF_CAP) -> str:
+    """n-gram Jaccard near-dup: candidates from any shared NON-HOT shingle
+    (inverted-index join — the blocking key IS the shingle), verified ≥ tau
+    over the FULL shingle sets.
+
+    The document-frequency cap bounds the inverted-index join: a shingle in
+    d docs contributes ≤ d²/2 candidate rows, so hot boilerplate shingles
+    (d ~ 10⁶ at corpus scale) are excluded from candidate generation.
+    Recall loss is confined to pairs ALL of whose shared shingles are hot —
+    near-dups share many shingles, so a true near-dup pair is lost only if
+    every one of them exceeds the cap."""
     ctes = _shingle_ctes(rel, dialect) + [
+        ("sh_cold", "SELECT shingle FROM sh GROUP BY shingle "
+                    f"HAVING count(*) <= {df_cap}"),
         ("cand", "SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b "
-                 "FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle "
+                 "FROM sh sa JOIN sh_cold c ON c.shingle = sa.shingle "
+                 "JOIN sh sb ON sb.shingle = sa.shingle "
                  "AND sa.doc_id < sb.doc_id"),
     ] + _jaccard_verify_sql(dialect)
     return _with(ctes, "SELECT doc_id_a, doc_id_b, jaccard FROM verified "
@@ -326,37 +349,55 @@ def sql_embed_topk(rel: str, dialect: str) -> str:
                  f"FROM ranked WHERE rn <= {TOPK}")
 
 
-def _rademacher(bit: int, dim: int) -> list:
+def _rademacher(table: int, bit: int, dim: int) -> list:
     """deterministic ±1 hyperplane from md5 — same constants in both
     dialect renders."""
     out = []
     for i in range(dim):
-        hx = hashlib.md5(f"ann/{bit}/{i}".encode()).hexdigest()
+        hx = hashlib.md5(f"ann/{table}/{bit}/{i}".encode()).hexdigest()
         out.append(1.0 if int(hx[:2], 16) & 1 else -1.0)
     return out
 
 
-def sql_embed_ann(rel: str, dialect: str, dim: int) -> str:
-    """sign-LSH bucketed ANN: 12 Rademacher hyperplanes → 12-bit code →
-    bucket equi-join → exact cosine verify.  Needs the embedding dim at
-    plan time (hyperplanes are literal arrays)."""
-    codes = []
-    for b in range(ANN_BITS):
-        r = _rademacher(b, dim)
-        lits = ", ".join(repr(v) for v in r)
-        arr = f"[{lits}]" if dialect == D.DUCKDB else f"array({lits})"
-        proj = _dot("embedding", f"{arr}", dialect)
-        w = 1 << b
-        codes.append(f"CASE WHEN ({proj}) >= 0 THEN {w} ELSE 0 END")
-    code = "CAST(" + " + ".join(codes) + " AS BIGINT)"
-    dot = _dot("a.embedding", "b.embedding", dialect)
-    ctes = [
-        _norm_cte(rel, dialect),
-        ("coded", f"SELECT vec_id, embedding, nrm, {code} AS bucket FROM vecs"),
-        ("cand", "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
-                 f"({dot} / (a.nrm * b.nrm)) AS cosine "
-                 "FROM coded a JOIN coded b ON a.bucket = b.bucket "
-                 "AND a.vec_id < b.vec_id"),
+def sql_embed_ann(rel: str, dialect: str, dim: int,
+                  tables: int = ANN_TABLES, bits: int = ANN_BITS) -> str:
+    """banded multi-table sign-LSH ANN: ``tables`` independent sets of
+    ``bits`` Rademacher hyperplanes → per-table bucket codes → candidate =
+    collides in ANY table (union of per-table bucket equi-joins, deduped) →
+    exact cosine verify once per candidate pair.
+
+    Scale shape: each table spreads N vectors over 2^bits buckets, so
+    in-bucket work is ~tables · N²/2^bits — the single-table variant had no
+    recall fallback (a near pair split by one hyperplane was lost); with L
+    tables a pair at cosine θ survives with 1-(1-p^bits)^L, p = 1-θ/π.
+    Needs the embedding dim at plan time (hyperplanes are literal arrays)."""
+    def code_expr(t: int) -> str:
+        parts = []
+        for b in range(bits):
+            r = _rademacher(t, b, dim)
+            lits = ", ".join(repr(v) for v in r)
+            arr = f"[{lits}]" if dialect == D.DUCKDB else f"array({lits})"
+            proj = _dot("embedding", f"{arr}", dialect)
+            parts.append(f"CASE WHEN ({proj}) >= 0 THEN {1 << b} ELSE 0 END")
+        return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+    ctes = [_norm_cte(rel, dialect)]
+    unions = []
+    for t in range(tables):
+        ctes.append((f"coded_{t}",
+                     f"SELECT vec_id, {code_expr(t)} AS bucket FROM vecs"))
+        unions.append(
+            f"SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
+            f"FROM coded_{t} a JOIN coded_{t} b ON a.bucket = b.bucket "
+            "AND a.vec_id < b.vec_id")
+    dot = _dot("va.embedding", "vb.embedding", dialect)
+    ctes += [
+        ("cand_ids", "SELECT DISTINCT vec_id_a, vec_id_b FROM ("
+                     + " UNION ALL ".join(unions) + ")"),
+        ("cand", "SELECT c.vec_id_a, c.vec_id_b, "
+                 f"({dot} / (va.nrm * vb.nrm)) AS cosine FROM cand_ids c "
+                 "JOIN vecs va ON va.vec_id = c.vec_id_a "
+                 "JOIN vecs vb ON vb.vec_id = c.vec_id_b"),
     ]
     return _with(ctes,
                  "SELECT vec_id_a, vec_id_b, cosine FROM cand "
