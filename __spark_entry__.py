@@ -25,12 +25,15 @@ from zentity_spark import dialect as D
 from zentity_spark import tdops
 from zentity_spark.model import Model
 from zentity_spark.pipeline import ResolutionJob
-from zentity_spark.synth import corpus_dir_for_sf_dir
+from zentity_spark.plans.compiler import Scope
+from zentity_spark.synth import corpus2_dir, corpus_dir_for_sf_dir
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _MODEL_PATH = os.path.join(_REPO, "fixtures", "model_person.json")
+_MODEL2_PATH = os.path.join(_REPO, "fixtures", "model_account.json")
 # the driver compares at sf=0.01: oracle SQL is static, so it pins that tier
 _ORACLE_CORPUS = os.path.join(_REPO, "fixtures", "sf0.01", "docs_spans.parquet")
+_ORACLE_CORPUS2 = os.path.join(_REPO, "fixtures", "sf0.01", "docs2_spans.parquet")
 
 SEED_DOC = "a-000000"
 SEED_MAX_HOPS = 2
@@ -41,10 +44,23 @@ def _model() -> Model:
         return Model.parse(f.read())
 
 
+def _model2() -> Model:
+    with open(_MODEL2_PATH) as f:
+        return Model.parse(f.read())
+
+
 def _job(spark: SparkSession, sf_dir: str) -> ResolutionJob:
     corpus = corpus_dir_for_sf_dir(sf_dir)
     docs = spark.read.parquet(os.path.join(corpus, "docs_spans.parquet"))
     return ResolutionJob(spark, docs, _model())
+
+
+def _job2(spark: SparkSession, sf_dir: str) -> ResolutionJob:
+    """second entity model (accounts): jaro_winkler + ngram matchers,
+    number + boolean attributes, dd/MM/yyyy dates (VERDICT r1 item 4)."""
+    corpus = corpus2_dir(os.path.basename(os.path.normpath(sf_dir)))
+    docs = spark.read.parquet(os.path.join(corpus, "docs2_spans.parquet"))
+    return ResolutionJob(spark, docs, _model2(), scope=Scope())
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -105,6 +121,51 @@ def _q_input_seeded(spark, sf_dir):
     job = _job(spark, sf_dir)
     out = job.resolve_input(attributes=SEED_INPUT, max_hops=SEED_INPUT_HOPS)
     return out.select("doc_id", F.col("hop").cast("int").alias("hop"))
+
+
+SEED_TERMS = ["john smith", "15550000000"]
+SEED_TERMS_HOPS = 2
+SEED_IDS = ["a-000000", "b-000000"]
+SEED_IDS_HOPS = 2
+
+
+def _q_terms_seeded(spark, sf_dir):
+    """terms seeding (SURVEY row 24): untyped terms coerced to every
+    accepting attribute, first-hop match, bounded snowball."""
+    out = _job(spark, sf_dir).resolve_input(terms=SEED_TERMS,
+                                            max_hops=SEED_TERMS_HOPS)
+    return out.select("doc_id", F.col("hop").cast("int").alias("hop"))
+
+
+def _q_ids_seeded(spark, sf_dir):
+    """ids seeding (SURVEY row 13): explicit doc ids via resolve_input."""
+    out = _job(spark, sf_dir).resolve_input(ids=SEED_IDS,
+                                            max_hops=SEED_IDS_HOPS)
+    return out.select("doc_id", F.col("hop").cast("int").alias("hop"))
+
+
+def _q2_extract(spark, sf_dir):
+    return _job2(spark, sf_dir).stage(
+        "SELECT doc_id, source, attr, field, value_norm FROM attrs_x",
+        upto="attrs_x")
+
+
+def _q2_keys(spark, sf_dir):
+    return _job2(spark, sf_dir).stage(
+        "SELECT doc_id, attr, key FROM keys_x", upto="keys_x")
+
+
+def _q2_edges(spark, sf_dir):
+    return _job2(spark, sf_dir).stage(
+        "SELECT doc_id_a, doc_id_b, resolver FROM match_edges_x")
+
+
+def _q2_clusters(spark, sf_dir):
+    return _job2(spark, sf_dir).clusters().select("doc_id", "entity_id")
+
+
+def _q2_pair_scores(spark, sf_dir):
+    return _job2(spark, sf_dir).pair_scores()
 
 
 def _q_explanations(spark, sf_dir):
@@ -203,6 +264,81 @@ def _oracle_input_seeded() -> str:
         extra=extra, recursive=True)
 
 
+def _plan2():
+    from zentity_spark.plans.compiler import compile_model
+    return compile_model(_model2(), Scope())
+
+
+def _rel2() -> str:
+    return f"read_parquet('{_ORACLE_CORPUS2}')"
+
+
+def _oracle2_stage(select: str, upto: str | None = None) -> str:
+    return _plan2().sql(D.DUCKDB, _rel2(), select, upto=upto)
+
+
+def _oracle2_clusters(select: str) -> str:
+    extra = [(n, s.format(rel=_rel2())) for n, s in _CC_EXTRA]
+    return _plan2().sql(D.DUCKDB, _rel2(), select, extra=extra, recursive=True)
+
+
+def _probe_from_terms(plan, terms) -> dict:
+    """replicate input.build_probe for the ORACLE side: type-coerce terms to
+    accepting attributes and normalize with the DuckDB render of the same
+    normalizer expressions (cross-engine normalizer identity is pinned by
+    tests/test_dialect.py)."""
+    import duckdb
+    from zentity_spark.input import term_accepts
+    raw: dict = {}
+    for t in terms:
+        for a, spec in plan.model.attributes.items():
+            if term_accepts(spec, str(t)):
+                raw.setdefault(a, []).append(str(t))
+    probe: dict = {}
+    con = duckdb.connect()
+    for a, vs in raw.items():
+        expr = plan.norm_sql(a, "c", D.DUCKDB)
+        rows = ", ".join("('" + v.replace("'", "''") + "')" for v in set(vs))
+        got = con.execute(
+            f"SELECT DISTINCT {expr} AS v FROM (VALUES {rows}) AS t(c)"
+        ).fetchall()
+        vals = sorted(r[0] for r in got if r[0])
+        if vals:
+            probe[a] = vals
+    return probe
+
+
+def _oracle_bounded(plan, seed_sql: str, hops: int, extra_pre=()) -> str:
+    extra = list(extra_pre) + [
+        ("und_e", _CC_EXTRA[0][1]),
+        ("reach_h", f"{seed_sql} "
+                    "UNION "
+                    "SELECT e.b, r.hop + 1 FROM reach_h r "
+                    "JOIN und_e e ON e.a = r.doc_id "
+                    f"WHERE r.hop < {hops}"),
+    ]
+    return plan.sql(
+        D.DUCKDB, _rel(),
+        "SELECT doc_id, CAST(min(hop) AS INTEGER) AS hop "
+        "FROM reach_h GROUP BY doc_id",
+        extra=extra, recursive=True)
+
+
+def _oracle_terms_seeded() -> str:
+    plan = _plan()
+    probe = _probe_from_terms(plan, SEED_TERMS)
+    return _oracle_bounded(
+        plan, "SELECT doc_id, 0 AS hop FROM seed_docs_x", SEED_TERMS_HOPS,
+        extra_pre=plan.seed_ctes(probe, D.DUCKDB))
+
+
+def _oracle_ids_seeded() -> str:
+    seeds = " UNION ALL ".join(
+        f"SELECT '{i}' AS doc_id, 0 AS hop" for i in SEED_IDS)
+    return _oracle_bounded(
+        _plan(), f"SELECT doc_id, hop FROM ({seeds}) s0", SEED_IDS_HOPS)
+
+
 def _oracle_media() -> str:
     return (
         "SELECT doc_id, "
@@ -256,9 +392,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_seeded_hops": _q_seeded,
         "er_media_spans": _q_media,
         "er_input_seeded": _q_input_seeded,
+        "er_terms_seeded": _q_terms_seeded,
+        "er_ids_seeded": _q_ids_seeded,
         "er_explanations": _q_explanations,
         "er_pair_scores": _q_pair_scores,
         "er_doc_scores": _q_doc_scores,
+        "er2_extract_attributes": _q2_extract,
+        "er2_blocking_keys": _q2_keys,
+        "er2_match_edges": _q2_edges,
+        "er2_clusters": _q2_clusters,
+        "er2_pair_scores": _q2_pair_scores,
     }
 
 
@@ -280,7 +423,21 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY entity_id HAVING count(*) > 1"),
         "er_seeded_hops": _oracle_seeded(),
         "er_input_seeded": _oracle_input_seeded(),
+        "er_terms_seeded": _oracle_terms_seeded(),
+        "er_ids_seeded": _oracle_ids_seeded(),
         "er_media_spans": _oracle_media(),
+        "er2_extract_attributes": _oracle2_stage(
+            "SELECT doc_id, source, attr, field, value_norm FROM attrs_x",
+            upto="attrs_x"),
+        "er2_blocking_keys": _oracle2_stage(
+            "SELECT doc_id, attr, key FROM keys_x", upto="keys_x"),
+        "er2_match_edges": _oracle2_stage(
+            "SELECT doc_id_a, doc_id_b, resolver FROM match_edges_x"),
+        "er2_clusters": _oracle2_clusters(
+            "SELECT doc_id, entity_id FROM labels"),
+        "er2_pair_scores": _oracle2_stage(
+            "SELECT doc_id_a, doc_id_b, score FROM pair_scores_x",
+            upto="pair_scores_x"),
         "er_explanations": _oracle_stage(
             "SELECT doc_id_a, doc_id_b, resolver, attr, field, matcher, s "
             "FROM explain_x", upto="explain_x"),

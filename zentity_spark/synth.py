@@ -310,6 +310,113 @@ def write_corpus(out_dir: str, n_persons: int, seed: int = SEED,
     return {"persons": len(persons), "docs": len(rows), "pairs": len(labeled)}
 
 
+# ---------------------------------------------------------------------------
+# second corpus: "account" entities exercising jaro_winkler / ngram matchers,
+# number + boolean attributes, and a non-ISO (dd/MM/yyyy) date format
+# ---------------------------------------------------------------------------
+
+_CO_STEM = ["acme", "globex", "initech", "vandelay", "wexler", "dunmore",
+            "calloway", "brighton", "fairview", "lakewood", "northgate",
+            "redwood", "sterling", "harbor", "pinnacle", "summit"]
+_CO_KIND = ["holdings", "industries", "logistics", "ventures", "systems",
+            "partners", "trading", "capital"]
+_CO_SUFF = ["incorporated", "limited", "corporation", "group"]
+
+TIERS2 = {"sf0.001": 80, "sf0.01": 800}
+
+
+def _jw_typo(rng: random.Random, name: str) -> str:
+    """substitute one character in the BACK half of the longest token —
+    Jaro-Winkler prefix weighting keeps similarity comfortably above the
+    model's 0.92 threshold for name-length strings."""
+    toks = name.split(" ")
+    ti = max(range(len(toks)), key=lambda i: len(toks[i]))
+    t = toks[ti]
+    pos = rng.randrange(max(1, len(t) * 2 // 3), len(t))
+    c = rng.choice([x for x in _CONSONANTS if x != t[pos]])
+    toks[ti] = t[:pos] + c + t[pos + 1:]
+    return " ".join(toks)
+
+
+def generate2(n_accounts: int, seed: int = SEED):
+    """(accounts, docs) for the account-entity corpus.  Correctness by
+    construction: opened dates ≥ 5 days apart across accounts (±2d window
+    can't bridge) and balances unique per account — so each resolver
+    (holder+opened, company+balance) carries a uniqueness anchor."""
+    rng = random.Random(("accounts", seed, n_accounts).__repr__())
+    firsts, lasts = _name_pools()
+    epoch = date(1970, 1, 1)
+    seq = {"e": 0, "f": 0}
+    docs = []
+    accounts = []
+    for i in range(n_accounts):
+        holder = f"{rng.choice(firsts)} {rng.choice(lasts)}"
+        company = (f"{rng.choice(_CO_STEM)} {rng.choice(_CO_KIND)} "
+                   f"{rng.choice(_CO_SUFF)}")
+        opened = epoch + timedelta(days=i * 5)
+        cents = 100000 * (1 + i % 7) + i * 137 + i % 97  # unique per account
+        active = "true" if i % 3 == 0 else "false"
+        accounts.append({"account_id": f"acct-{i:06d}", "holder": holder,
+                         "company": company, "opened": opened.isoformat(),
+                         "balance_cents": cents})
+        for di in range(rng.randint(2, 4)):
+            src = rng.choice("ef")
+            doc_id = f"{src}-{seq[src]:06d}"
+            seq[src] += 1
+            op = "none" if di == 0 else rng.choice(
+                ["none", "jw_typo", "ng_edit", "date_shift", "num_fmt",
+                 "bool_case", "drop_holder", "drop_company"])
+            h, c, o, a = holder, company, opened, active
+            bal = f"{cents // 100}.{cents % 100:02d}"
+            if op == "jw_typo":
+                h = _jw_typo(rng, holder)
+            elif op == "ng_edit":
+                # clip the suffix word — shares most 3-grams (jaccard > 0.5)
+                c = company.rsplit(" ", 1)[0] + " " + company.rsplit(" ", 1)[1][:3]
+            elif op == "date_shift":
+                o = opened + timedelta(days=rng.choice([-1, 1]))
+            elif op == "num_fmt":
+                bal = f"{cents // 100}.{cents % 100:02d}0"  # trailing zero
+            elif op == "bool_case":
+                a = a.title() if rng.random() < 0.5 else a.upper()
+            fields = []
+            if op != "drop_holder":
+                fields.append(("holder_name", h))
+                fields.append(("opened", o.strftime("%d/%m/%Y")))
+            if op != "drop_company":
+                fields.append(("company", c))
+                fields.append(("balance", bal))
+            fields.append(("active", a))
+            docs.append({"doc_id": doc_id, "person_id": f"acct-{i:06d}",
+                         "source": src, "fields": fields, "op": op})
+    return accounts, docs
+
+
+def write_corpus2(out_dir: str, n_accounts: int, seed: int = SEED) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    accounts, docs = generate2(n_accounts, seed)
+    rows = docs_to_rows(docs, seed)
+    pq.write_table(pa.Table.from_pylist(rows, schema=DOCS_SCHEMA),
+                   os.path.join(out_dir, "docs2_spans.parquet"),
+                   row_group_size=16384)
+    pq.write_table(pa.Table.from_pylist(
+        [{"doc_id": d["doc_id"], "account_id": d["person_id"],
+          "source": d["source"], "op": d["op"]} for d in docs]),
+        os.path.join(out_dir, "docs2_truth.parquet"))
+    return {"accounts": len(accounts), "docs": len(rows)}
+
+
+def corpus2_dir(tier: str, base: str | None = None) -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if base is None:
+        base = os.path.join(repo, "fixtures")
+    tier = tier if tier in TIERS2 else "sf0.01"
+    out = os.path.join(base, tier)
+    if not os.path.exists(os.path.join(out, "docs2_spans.parquet")):
+        write_corpus2(out, TIERS2[tier])
+    return out
+
+
 def corpus_dir(tier: str, base: str | None = None) -> str:
     """Path of the fixture corpus for a tier; generate if missing.
 
