@@ -105,10 +105,14 @@ def _q_cluster_sizes(spark, sf_dir):
             .where(F.col("n_docs") > 1))
 
 
+def _hopq(out):
+    return out.select("doc_id", F.col("hop").cast("int").alias("hop"),
+                      F.col("q").cast("int").alias("q"))
+
+
 def _q_seeded(spark, sf_dir):
     job = _job(spark, sf_dir)
-    out = job.resolve_seeded([SEED_DOC], max_hops=SEED_MAX_HOPS)
-    return out.select("doc_id", F.col("hop").cast("int").alias("hop"))
+    return _hopq(job.resolve_seeded([SEED_DOC], max_hops=SEED_MAX_HOPS))
 
 
 SEED_INPUT = {"name": ["john smith"], "phone": ["15550000000"]}
@@ -119,8 +123,8 @@ def _q_input_seeded(spark, sf_dir):
     """seeded resolution from input ATTRIBUTES (first-hop matching + bounded
     snowball) — ≙ one full reference resolution request (SURVEY §4.1)."""
     job = _job(spark, sf_dir)
-    out = job.resolve_input(attributes=SEED_INPUT, max_hops=SEED_INPUT_HOPS)
-    return out.select("doc_id", F.col("hop").cast("int").alias("hop"))
+    return _hopq(job.resolve_input(attributes=SEED_INPUT,
+                                   max_hops=SEED_INPUT_HOPS))
 
 
 SEED_TERMS = ["john smith", "15550000000"]
@@ -132,16 +136,30 @@ SEED_IDS_HOPS = 2
 def _q_terms_seeded(spark, sf_dir):
     """terms seeding (SURVEY row 24): untyped terms coerced to every
     accepting attribute, first-hop match, bounded snowball."""
-    out = _job(spark, sf_dir).resolve_input(terms=SEED_TERMS,
-                                            max_hops=SEED_TERMS_HOPS)
-    return out.select("doc_id", F.col("hop").cast("int").alias("hop"))
+    return _hopq(_job(spark, sf_dir).resolve_input(
+        terms=SEED_TERMS, max_hops=SEED_TERMS_HOPS))
 
 
 def _q_ids_seeded(spark, sf_dir):
     """ids seeding (SURVEY row 13): explicit doc ids via resolve_input."""
-    out = _job(spark, sf_dir).resolve_input(ids=SEED_IDS,
-                                            max_hops=SEED_IDS_HOPS)
-    return out.select("doc_id", F.col("hop").cast("int").alias("hop"))
+    return _hopq(_job(spark, sf_dir).resolve_input(
+        ids=SEED_IDS, max_hops=SEED_IDS_HOPS))
+
+
+# a non-trivial request scope: prune the dob attribute (disables
+# r_name_dob), drop the hot name value, keep the weak resolver excluded
+SCOPED = dict(exclude_resolvers=("r_name_city_weak",),
+              exclude_attributes=("dob",),
+              exclude_values=(("name", "john smith"),))
+
+
+def _q_scoped_clusters(spark, sf_dir):
+    """clusters under a restricted request scope (SURVEY row 25 —
+    attribute + resolver + value scoping exercised together)."""
+    corpus = corpus_dir_for_sf_dir(sf_dir)
+    docs = spark.read.parquet(os.path.join(corpus, "docs_spans.parquet"))
+    job = ResolutionJob(spark, docs, _model(), scope=Scope(**SCOPED))
+    return job.clusters().select("doc_id", "entity_id")
 
 
 def _q2_extract(spark, sf_dir):
@@ -231,37 +249,50 @@ def _oracle_clusters(select: str) -> str:
     return _plan().sql(D.DUCKDB, _rel(), select, extra=extra, recursive=True)
 
 
-def _oracle_seeded() -> str:
-    extra = [
-        ("und_e", _CC_EXTRA[0][1]),
-        ("reach_h", f"SELECT '{SEED_DOC}' AS doc_id, 0 AS hop "
+def _und_eq(plan) -> tuple:
+    """undirected match edges with the per-resolver query ordinal q (the
+    Spark side's _edges_q CASE, min-folded per pair)."""
+    names = sorted(r.name for r in plan.active_resolvers())
+    case = ("CASE " + " ".join(f"WHEN resolver = '{n}' THEN {i}"
+                               for i, n in enumerate(names)) + " ELSE 0 END")
+    return ("und_eq",
+            "SELECT a, b, min(q) AS q FROM ("
+            f"SELECT doc_id_a AS a, doc_id_b AS b, {case} AS q "
+            "FROM match_edges_x "
+            f"UNION ALL SELECT doc_id_b, doc_id_a, {case} "
+            "FROM match_edges_x) GROUP BY a, b")
+
+
+_FIRST_REACH = (
+    "SELECT doc_id, CAST(hop AS INTEGER) AS hop, CAST(q AS INTEGER) AS q "
+    "FROM (SELECT doc_id, hop, q, row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY hop, q) AS rn FROM reach_h) WHERE rn = 1")
+
+
+def _oracle_bounded_hopq(plan, seed_sql: str, hops: int, extra_pre=()) -> str:
+    extra = list(extra_pre) + [
+        _und_eq(plan),
+        ("reach_h", f"{seed_sql} "
                     "UNION "
-                    "SELECT e.b, r.hop + 1 FROM reach_h r "
-                    "JOIN und_e e ON e.a = r.doc_id "
-                    f"WHERE r.hop < {SEED_MAX_HOPS}"),
+                    "SELECT e.b, r.hop + 1, e.q FROM reach_h r "
+                    "JOIN und_eq e ON e.a = r.doc_id "
+                    f"WHERE r.hop < {hops}"),
     ]
-    return _plan().sql(
-        D.DUCKDB, _rel(),
-        "SELECT doc_id, CAST(min(hop) AS INTEGER) AS hop "
-        "FROM reach_h GROUP BY doc_id",
-        extra=extra, recursive=True)
+    return plan.sql(D.DUCKDB, _rel(), _FIRST_REACH,
+                    extra=extra, recursive=True)
+
+
+def _oracle_seeded() -> str:
+    return _oracle_bounded_hopq(
+        _plan(), f"SELECT '{SEED_DOC}' AS doc_id, 0 AS hop, 0 AS q",
+        SEED_MAX_HOPS)
 
 
 def _oracle_input_seeded() -> str:
     plan = _plan()
-    extra = plan.seed_ctes(SEED_INPUT, D.DUCKDB) + [
-        ("und_e", _CC_EXTRA[0][1]),
-        ("reach_h", "SELECT doc_id, 0 AS hop FROM seed_docs_x "
-                    "UNION "
-                    "SELECT e.b, r.hop + 1 FROM reach_h r "
-                    "JOIN und_e e ON e.a = r.doc_id "
-                    f"WHERE r.hop < {SEED_INPUT_HOPS}"),
-    ]
-    return plan.sql(
-        D.DUCKDB, _rel(),
-        "SELECT doc_id, CAST(min(hop) AS INTEGER) AS hop "
-        "FROM reach_h GROUP BY doc_id",
-        extra=extra, recursive=True)
+    return _oracle_bounded_hopq(
+        plan, "SELECT doc_id, 0 AS hop, 0 AS q FROM seed_docs_x",
+        SEED_INPUT_HOPS, extra_pre=plan.seed_ctes(SEED_INPUT, D.DUCKDB))
 
 
 def _plan2():
@@ -280,6 +311,15 @@ def _oracle2_stage(select: str, upto: str | None = None) -> str:
 def _oracle2_clusters(select: str) -> str:
     extra = [(n, s.format(rel=_rel2())) for n, s in _CC_EXTRA]
     return _plan2().sql(D.DUCKDB, _rel2(), select, extra=extra, recursive=True)
+
+
+def _oracle_scoped_clusters() -> str:
+    from zentity_spark.plans.compiler import compile_model
+    plan = compile_model(_model(), Scope(**SCOPED))
+    extra = [(n, s.format(rel=_rel())) for n, s in _CC_EXTRA]
+    return plan.sql(D.DUCKDB, _rel(),
+                    "SELECT doc_id, entity_id FROM labels",
+                    extra=extra, recursive=True)
 
 
 def _probe_from_terms(plan, terms) -> dict:
@@ -308,35 +348,19 @@ def _probe_from_terms(plan, terms) -> dict:
     return probe
 
 
-def _oracle_bounded(plan, seed_sql: str, hops: int, extra_pre=()) -> str:
-    extra = list(extra_pre) + [
-        ("und_e", _CC_EXTRA[0][1]),
-        ("reach_h", f"{seed_sql} "
-                    "UNION "
-                    "SELECT e.b, r.hop + 1 FROM reach_h r "
-                    "JOIN und_e e ON e.a = r.doc_id "
-                    f"WHERE r.hop < {hops}"),
-    ]
-    return plan.sql(
-        D.DUCKDB, _rel(),
-        "SELECT doc_id, CAST(min(hop) AS INTEGER) AS hop "
-        "FROM reach_h GROUP BY doc_id",
-        extra=extra, recursive=True)
-
-
 def _oracle_terms_seeded() -> str:
     plan = _plan()
     probe = _probe_from_terms(plan, SEED_TERMS)
-    return _oracle_bounded(
-        plan, "SELECT doc_id, 0 AS hop FROM seed_docs_x", SEED_TERMS_HOPS,
-        extra_pre=plan.seed_ctes(probe, D.DUCKDB))
+    return _oracle_bounded_hopq(
+        plan, "SELECT doc_id, 0 AS hop, 0 AS q FROM seed_docs_x",
+        SEED_TERMS_HOPS, extra_pre=plan.seed_ctes(probe, D.DUCKDB))
 
 
 def _oracle_ids_seeded() -> str:
     seeds = " UNION ALL ".join(
-        f"SELECT '{i}' AS doc_id, 0 AS hop" for i in SEED_IDS)
-    return _oracle_bounded(
-        _plan(), f"SELECT doc_id, hop FROM ({seeds}) s0", SEED_IDS_HOPS)
+        f"SELECT '{i}' AS doc_id, 0 AS hop, 0 AS q" for i in SEED_IDS)
+    return _oracle_bounded_hopq(
+        _plan(), f"SELECT doc_id, hop, q FROM ({seeds}) s0", SEED_IDS_HOPS)
 
 
 def _oracle_media() -> str:
@@ -394,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_input_seeded": _q_input_seeded,
         "er_terms_seeded": _q_terms_seeded,
         "er_ids_seeded": _q_ids_seeded,
+        "er_scoped_clusters": _q_scoped_clusters,
         "er_explanations": _q_explanations,
         "er_pair_scores": _q_pair_scores,
         "er_doc_scores": _q_doc_scores,
@@ -425,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         "er_input_seeded": _oracle_input_seeded(),
         "er_terms_seeded": _oracle_terms_seeded(),
         "er_ids_seeded": _oracle_ids_seeded(),
+        "er_scoped_clusters": _oracle_scoped_clusters(),
         "er_media_spans": _oracle_media(),
         "er2_extract_attributes": _oracle2_stage(
             "SELECT doc_id, source, attr, field, value_norm FROM attrs_x",

@@ -46,14 +46,26 @@ def s8_job(spark, model):
 
 
 def test_probe_normalization(spark, s8_job):
-    probe = build_probe(spark, s8_job.plan,
-                        attributes={"name": ["  Kira  MOSS!"],
-                                    "phone": ["+1 (555) 777-0001"]})
+    probe, params = build_probe(spark, s8_job.plan,
+                                attributes={"name": ["  Kira  MOSS!"],
+                                            "phone": ["+1 (555) 777-0001"]})
     assert probe == {"name": ["kira moss"], "phone": ["15557770001"]}
+    assert params == {}
+
+
+def test_probe_input_params_cascade(spark, s8_job):
+    """input attributes may carry per-request matcher params
+    (input/Attribute.java::params — the rightmost level of the cascade)."""
+    probe, params = build_probe(spark, s8_job.plan, attributes={
+        "name": {"values": ["Kira Moss"], "params": {"fuzziness": "2"}},
+        "phone": ["+1 (555) 777-0001"],
+    })
+    assert probe == {"name": ["kira moss"], "phone": ["15557770001"]}
+    assert params == {"name": {"fuzziness": "2"}}
 
 
 def test_terms_coerced_to_types(spark, s8_job):
-    probe = build_probe(spark, s8_job.plan, terms=["1984-03-02"])
+    probe, _ = build_probe(spark, s8_job.plan, terms=["1984-03-02"])
     # the date attr parses it; phone keeps digits; email keeps it verbatim;
     # the name normalizer strips digits/punctuation to '' → dropped
     assert probe["dob"] == ["1984-03-02"]

@@ -78,3 +78,21 @@ def test_media_scan_prunes_columns(spark, docs_sf0001):
         .executedPlan().toString()
     # generator output is filtered on s.kind before any python stage
     assert "media" in plan
+
+
+def test_seeded_response_aggregates_hit_set_only(spark, docs_sf0001, model):
+    """a seeded response must not pay corpus-wide aggregations: every
+    auxiliary payload (attributes/score/explanation) semi-joins the hit
+    set BEFORE its groupBy (VERDICT r1 item 5)."""
+    job = ResolutionJob(spark, docs_sf0001, model)
+    df = job.response(ids=["a-000000"], max_hops=1,
+                      include_explanation=True)
+    rows = df.collect()
+    n_hits = len(rows)
+    assert 0 < n_hits < 50                       # tiny hit set, not corpus
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the aggregation inputs are filtered via broadcast semi joins
+    assert "LeftSemi" in plan
+    # attributes_map over the hit set returns exactly the hit docs
+    ids = df.select("doc_id")
+    assert job.attributes_map(ids).count() == n_hits

@@ -45,6 +45,6 @@ def test_full_response(job):
 def test_response_toggles(job):
     df = job.response(ids=["a-000002"], include_attributes=False,
                       include_score=False, include_source=False)
-    assert set(df.columns) == {"doc_id", "hop"}
+    assert set(df.columns) == {"doc_id", "hop", "q"}
     rows = df.collect()
-    assert len(rows) == 1 and rows[0]["hop"] == 0
+    assert len(rows) == 1 and rows[0]["hop"] == 0 and rows[0]["q"] == 0

@@ -205,3 +205,87 @@ def test_field_scoped_matcher_binding(spark):
     assert got == {frozenset({"a-000001"}),
                    frozenset({"a-000002"}),
                    frozenset({"a-000003", "a-000004"})}
+
+
+def test_s5_scope_attribute_exclude(spark, model):
+    """an excluded attribute is not extracted, and resolvers requiring it
+    become unusable (Input.java::parseScope attribute scoping)."""
+    spec = [
+        ("a-000001", [("full_name", "omar velez"), ("city", "springfield"),
+                      ("tel", "15550009999")]),
+        ("b-000001", [("full_name", "omar velez"), ("city", "springfield"),
+                      ("tel", "15550009999")]),
+    ]
+    # city excluded → r_name_city_weak unusable even though it's in scope;
+    # merge still happens via r_name_phone
+    scope = Scope(exclude_attributes=("city",))
+    got, job = resolve(spark, model, spec, scope=scope)
+    assert got == {frozenset({"a-000001", "b-000001"})}
+    assert job.attrs().where(F.col("attr") == "city").count() == 0
+    active = {r.name for r in job.plan.active_resolvers()}
+    assert "r_name_city_weak" not in active and "r_name_phone" in active
+    # excluding phone too removes the only remaining multi-evidence path
+    scope2 = Scope(exclude_attributes=("city", "phone", "email", "dob"))
+    got2, _ = resolve(spark, model, spec, scope=scope2)
+    assert got2 == {frozenset({"a-000001"}), frozenset({"b-000001"})}
+
+
+def test_s5_scope_include_values(spark, model):
+    """include-values keeps ONLY the listed values of that attribute
+    (Input.java::parseScope include.attributes)."""
+    spec = [
+        ("a-000001", [("full_name", "ada quinn"), ("email", "q@x.example")]),
+        ("b-000001", [("full_name", "ada quinn"), ("email", "q@x.example")]),
+        ("a-000002", [("full_name", "joy marsh"), ("email", "j@x.example")]),
+        ("b-000002", [("full_name", "joy marsh"), ("email", "j@x.example")]),
+    ]
+    scope = Scope(exclude_resolvers=("r_name_city_weak",),
+                  include_values=(("email", "q@x.example"),))
+    got, job = resolve(spark, model, spec, scope=scope)
+    # j@x.example is dropped at extraction → the second pair cannot merge
+    assert got == {frozenset({"a-000001", "b-000001"}),
+                   frozenset({"a-000002"}), frozenset({"b-000002"})}
+    kept = {r["value_norm"] for r in
+            job.attrs().where(F.col("attr") == "email").collect()}
+    assert kept == {"q@x.example"}
+
+
+def test_input_params_override_verification(spark, model):
+    """input-level fuzziness=0 disables edit tolerance for THIS request:
+    a 1-edit name that the model-level fuzzy (auto) seed WOULD match stops
+    seeding, without touching the model."""
+    spec = [
+        ("a-000001", [("full_name_alt", "tessa brook"), ("tel", "15553330001")]),
+    ]
+    docs = make_docs(spark, spec)
+    job = ResolutionJob(spark, docs, model)
+    loose = {r["doc_id"] for r in job.seed_docs(
+        attributes={"name": ["tessa brooks"],
+                    "phone": ["15553330001"]}).collect()}
+    assert loose == {"a-000001"}          # fuzziness auto: 1 edit tolerated
+    strict = {r["doc_id"] for r in job.seed_docs(
+        attributes={"name": {"values": ["tessa brooks"],
+                             "params": {"fuzziness": "0"}},
+                    "phone": ["15553330001"]}).collect()}
+    assert strict == set()                # fuzziness 0: exact only
+
+
+def test_max_time_per_query_budget(spark, model):
+    """max_time_per_query parity: a zero budget stops snowball expansion
+    after the seeds (hop 0), like the reference timing out a hop."""
+    spec = [
+        ("a-000001", [("email", "chain0@x.example"),
+                      ("tel", "15554440001"), ("full_name", "lena ford")]),
+        ("b-000001", [("email", "chain0@x.example"),
+                      ("email", "chain1@x.example")]),
+        ("c-000001", [("email", "chain1@x.example")]),
+    ]
+    docs = make_docs(spark, spec)
+    job = ResolutionJob(spark, docs, model)
+    full = {r["doc_id"]: r["hop"] for r in
+            job.resolve_input(ids=["a-000001"], max_hops=5).collect()}
+    assert full == {"a-000001": 0, "b-000001": 1, "c-000001": 2}
+    cut = {r["doc_id"]: r["hop"] for r in
+           job.resolve_input(ids=["a-000001"], max_hops=5,
+                             max_time_per_query=0.0).collect()}
+    assert cut == {"a-000001": 0}

@@ -66,6 +66,9 @@ def main(argv=None) -> int:
                     help="attr=value input attribute (repeatable)")
     sp.add_argument("--term", action="append", default=[])
     sp.add_argument("--max-hops", type=int, default=100)
+    sp.add_argument("--max-time-per-query", type=float, default=None,
+                    help="seconds; stop snowball expansion when exceeded "
+                         "(max_time_per_query parity)")
 
     args = ap.parse_args(argv)
 
@@ -85,7 +88,8 @@ def main(argv=None) -> int:
         out = job.response(attributes=attributes or None,
                            terms=args.term or None,
                            ids=args.id or None,
-                           max_hops=args.max_hops)
+                           max_hops=args.max_hops,
+                           max_time_per_query=args.max_time_per_query)
     out.write.mode("overwrite").parquet(args.output)
     n = job.spark.read.parquet(args.output).count()
     print(json.dumps({"output": args.output, "rows": n}))

@@ -47,17 +47,30 @@ def term_accepts(attr, term: str) -> bool:
     return False
 
 
-def build_probe(spark, plan, attributes=None, terms=None) -> dict:
-    """(attributes, terms) → {attr: sorted [normalized values]}.
+def build_probe(spark, plan, attributes=None, terms=None):
+    """(attributes, terms) → ({attr: sorted [normalized values]},
+    {attr: input params}).
+
+    ``attributes`` accepts the reference's both shapes
+    (``input/Attribute.java::params`` ≈L30-100): a plain value list, or
+    ``{"values": [...], "params": {...}}`` — the params entry is the
+    input level of the matcher-params cascade (matcher ⊕ model-attr ⊕
+    input-attr, rightmost wins — SURVEY row 29).
 
     Normalization runs the compiled SQL normalizer of each attribute on the
     literal values (one tiny driver-side query), guaranteeing identity with
     extraction-time normalization.
     """
     raw: dict = {}
+    params: dict = {}
     for a, vs in (attributes or {}).items():
         if a not in plan.model.attributes:
             raise KeyError(f"input references undeclared attribute '{a}'")
+        if isinstance(vs, dict):
+            p = vs.get("params", {})
+            if p:
+                params[a] = dict(p)
+            vs = vs.get("values", [])
         raw.setdefault(a, []).extend(str(v) for v in vs)
     for t in terms or ():
         for a, spec in plan.model.attributes.items():
@@ -74,4 +87,4 @@ def build_probe(spark, plan, attributes=None, terms=None) -> dict:
         vals = sorted(r["v"] for r in got if r["v"])
         if vals:
             probe[a] = vals
-    return probe
+    return probe, params

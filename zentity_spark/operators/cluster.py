@@ -101,29 +101,53 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 
 
 def bounded_label_propagation(edges: DataFrame, seeds: DataFrame,
-                              max_hops: int = 100) -> DataFrame:
+                              max_hops: int = 100,
+                              max_time_s: float | None = None) -> DataFrame:
     """seeded resolution with hop semantics (``max_hops`` parity, SURVEY §8
     R2 / M6): BFS from seed docs over match edges, at most ``max_hops``
     expansion rounds.
 
-    seeds: DataFrame with column doc_id.  Returns (doc_id, hop) where hop is
-    the round in which the doc first joined the entity (seeds → hop 0), i.e.
-    the ``_hop`` ordinal the reference records per hit
-    (``Job.java`` docIds/hop tracking ≈L500-540, L1100-1150).
+    seeds: DataFrame with column doc_id.  Returns (doc_id, hop, q) where hop
+    is the round in which the doc first joined the entity (seeds → hop 0)
+    — the ``_hop`` ordinal the reference records per hit (``Job.java``
+    docIds/hop tracking ≈L500-540, L1100-1150) — and q is the ``_query``
+    ordinal analog: the minimum ordinal of the per-resolver edge stream that
+    reached the doc at that hop (the reference records which query of the
+    hop returned the hit; our hop's "queries" are the resolver streams).
+    Edges without a ``q`` column get q = 0.
+
+    ``max_time_s`` ≙ ``max_time_per_query`` (``ResolutionAction.java::
+    prepareRequest``): the batch analog stops EXPANDING once the elapsed
+    budget is spent — like the reference timing out a hop's search and
+    returning the docs found so far.
     """
-    e = _canon(edges)
-    nbr = (e.select("u", "v")
-           .union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    import time as _t
+    t0 = _t.time()
+    if "q" not in edges.columns:
+        edges = edges.withColumn("q", F.lit(0))
+    # canonical undirected edges keeping the min stream ordinal per pair
+    e = (edges.select(
+            F.least("doc_id_a", "doc_id_b").alias("u"),
+            F.greatest("doc_id_a", "doc_id_b").alias("v"), "q")
+         .where(F.col("u") != F.col("v"))
+         .groupBy("u", "v").agg(F.min("q").alias("q")))
+    nbr = (e.select("u", "v", "q")
+           .union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "q"))
            .localCheckpoint())
-    reached = seeds.select("doc_id").distinct().withColumn("hop", F.lit(0)).localCheckpoint()
+    reached = (seeds.select("doc_id").distinct()
+               .withColumn("hop", F.lit(0))
+               .withColumn("q", F.lit(0)).localCheckpoint())
     frontier = reached
     for h in range(1, max_hops + 1):
+        if max_time_s is not None and _t.time() - t0 > max_time_s:
+            break
         nxt = (
             frontier.join(nbr, frontier.doc_id == nbr.u)
-            .select(F.col("v").alias("doc_id"))
-            .distinct()
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.min(nbr.q).alias("q"))
             .join(reached.select("doc_id"), "doc_id", "left_anti")
             .withColumn("hop", F.lit(h))
+            .select("doc_id", "hop", "q")
         )
         nxt = nxt.localCheckpoint()
         if nxt.isEmpty():

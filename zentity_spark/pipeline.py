@@ -92,6 +92,21 @@ class ResolutionJob:
         import time as _t
         if stages is None:
             stages = self.mat_stages()
+        # ZENTITY_MAT=ckpt: materialize via localCheckpoint + temp views
+        # (in-memory partitions, no parquet encode/decode round-trip).
+        # Off by default: parquet is the resumable/lineage path, and temp
+        # views are per-session state.  Used by bench.py for the
+        # fixed-cost A/B (BENCH/BASELINE.md round-2 notes).
+        if os.environ.get("ZENTITY_MAT", "parquet") == "ckpt":
+            for level in stages:
+                todo = [st for st in level if st not in self._replace]
+                dfs = [(st, self.stage(f"SELECT * FROM {st}", upto=st))
+                       for st in todo]
+                for st, df in dfs:
+                    view = f"{self._view}_{st}"
+                    df.localCheckpoint().createOrReplaceTempView(view)
+                    self._replace[st] = view
+            return
         if self._ckpt_dir is None:
             self._ckpt_dir = tempfile.mkdtemp(prefix="zentity_stage_")
             self._owns_ckpt_dir = True
@@ -251,10 +266,11 @@ class ResolutionJob:
         return self.stage(
             "SELECT doc_id, score FROM doc_scores_x", upto="doc_scores_x")
 
-    def explanation_structs(self) -> DataFrame:
+    def explanation_structs(self, doc_ids: DataFrame | None = None) -> DataFrame:
         """per-doc nested explanation (≙ response `_explanation` payload,
         Job.java response assembly ≈L1200-1500): array of
-        (resolver, attribute, matcher, other_doc, s) structs."""
+        (resolver, attribute, field, matcher, other_doc, s) structs.
+        ``doc_ids`` restricts aggregation to the hit set."""
         ex = self.explanations()
         both = ex.selectExpr(
             "doc_id_a AS doc_id", "doc_id_b AS other_doc",
@@ -262,6 +278,9 @@ class ResolutionJob:
         ).unionByName(ex.selectExpr(
             "doc_id_b AS doc_id", "doc_id_a AS other_doc",
             "resolver", "attr", "field", "matcher", "s"))
+        if doc_ids is not None:
+            both = both.join(F.broadcast(doc_ids.select("doc_id")),
+                             "doc_id", "semi")
         return both.groupBy("doc_id").agg(
             F.sort_array(F.collect_list(F.struct(
                 "resolver", "attr", "field", "matcher", "other_doc", "s"
@@ -287,8 +306,8 @@ class ResolutionJob:
         """docs matched by the FIRST hop of a reference resolution request
         with these input attributes/terms (SURVEY rows 13/24)."""
         from zentity_spark.input import build_probe
-        probe = build_probe(self.spark, self.plan, attributes, terms)
-        extra = self.plan.seed_ctes(probe, D.SPARK)
+        probe, in_params = build_probe(self.spark, self.plan, attributes, terms)
+        extra = self.plan.seed_ctes(probe, D.SPARK, input_params=in_params)
         df = self.spark.sql(self.plan.sql(
             D.SPARK, self._view, "SELECT doc_id FROM seed_docs_x",
             extra=extra))
@@ -297,12 +316,24 @@ class ResolutionJob:
         # rewrite bug (UnionBase.rewriteConstraints NoSuchElementException)
         return df.localCheckpoint()
 
+    def _edges_q(self, edges: DataFrame) -> DataFrame:
+        """attach the per-resolver query ordinal (≙ the `_query` ordinal the
+        reference records per hit — our hop's "queries" are the per-resolver
+        edge streams, ordered by resolver name)."""
+        names = sorted(r.name for r in self.plan.active_resolvers())
+        branches = " ".join(
+            f"WHEN resolver = '{n}' THEN {i}" for i, n in enumerate(names))
+        return edges.select(
+            "doc_id_a", "doc_id_b",
+            F.expr(f"CASE {branches} ELSE 0 END").alias("q"))
+
     def resolve_input(self, attributes=None, terms=None, ids=None,
                       max_hops: int = 100,
+                      max_time_per_query: float | None = None,
                       edges: DataFrame | None = None) -> DataFrame:
         """full analog of ``POST _zentity/resolution/{type}`` input handling:
         seeds from attributes+terms (first-hop matching) and/or explicit
-        ids, then bounded snowball → (doc_id, hop)."""
+        ids, then bounded snowball → (doc_id, hop, q)."""
         seeds = None
         if attributes or terms:
             seeds = self.seed_docs(attributes, terms)
@@ -315,37 +346,67 @@ class ResolutionJob:
         if edges is None:
             edges = self.match_edges()
         return bounded_label_propagation(
-            edges.select("doc_id_a", "doc_id_b"), seeds, max_hops=max_hops)
+            self._edges_q(edges), seeds, max_hops=max_hops,
+            max_time_s=max_time_per_query)
 
-    def attributes_map(self) -> DataFrame:
+    def attributes_map(self, doc_ids: DataFrame | None = None) -> DataFrame:
         """(doc_id, attributes map<attr, array<value>>) — the harvested
-        attribute set per doc (≙ `_attributes` hit payload, row 33)."""
+        attribute set per doc (≙ `_attributes` hit payload, row 33).
+        ``doc_ids`` (broadcast) restricts aggregation to the hit set —
+        a seeded request must not pay a corpus-wide groupBy."""
         vals = self.stage("SELECT doc_id, attr, vlist FROM vals_x",
                           upto="vals_x")
+        if doc_ids is not None:
+            vals = vals.join(F.broadcast(doc_ids.select("doc_id")),
+                             "doc_id", "semi")
         return (vals.groupBy("doc_id")
                 .agg(F.map_from_entries(
                     F.sort_array(F.collect_list(F.struct("attr", "vlist")))
                 ).alias("attributes")))
 
+    def doc_scores_for(self, doc_ids: DataFrame) -> DataFrame:
+        """doc scores aggregated over the hit set only (semi-join BEFORE the
+        pivot/groupBy — the full-corpus ``doc_scores()`` stays for the batch
+        mode)."""
+        ex = self.explanations()
+        both = ex.selectExpr("doc_id_a AS doc_id", "attr", "s").unionByName(
+            ex.selectExpr("doc_id_b AS doc_id", "attr", "s"))
+        both = both.join(F.broadcast(doc_ids.select("doc_id")),
+                         "doc_id", "semi")
+        attrs = self.plan.scored_attrs()
+        pivots = [F.max(F.when(F.col("attr") == a, F.col("s"))).alias(f"s_{i}")
+                  for i, a in enumerate(attrs)]
+        conf = self.plan._conflation([f"s_{i}" for i in range(len(attrs))])
+        return (both.groupBy("doc_id").agg(*pivots)
+                .selectExpr("doc_id", f"{conf} AS score"))
+
     def response(self, attributes=None, terms=None, ids=None,
-                 max_hops: int = 100, include_attributes: bool = True,
+                 max_hops: int = 100, max_time_per_query: float | None = None,
+                 include_attributes: bool = True,
                  include_score: bool = True, include_explanation: bool = False,
                  include_source: bool = True) -> DataFrame:
         """assembled resolution response for one input — the batch analog of
         the REST hit payload (`Job.java::run` response block ≈L1200-1500,
-        SURVEY rows 5/31/33): (doc_id, hop [, attributes][, score]
-        [, explanation][, spans])."""
+        SURVEY rows 5/31/33): (doc_id, hop, q [, attributes][, score]
+        [, explanation][, spans]).
+
+        Every auxiliary payload aggregates over the HIT SET only (broadcast
+        semi-joins before the groupBys) — a seeded request never pays a
+        corpus-wide aggregation (round-1 ADVICE/VERDICT fix)."""
         edges = self.match_edges()
         hits = self.resolve_input(attributes=attributes, terms=terms,
-                                  ids=ids, max_hops=max_hops, edges=edges)
-        out = hits.select("doc_id", F.col("hop").cast("int").alias("hop"))
+                                  ids=ids, max_hops=max_hops,
+                                  max_time_per_query=max_time_per_query,
+                                  edges=edges).localCheckpoint()
+        ids_df = hits.select("doc_id")
+        out = hits.select("doc_id", F.col("hop").cast("int").alias("hop"),
+                          F.col("q").cast("int").alias("q"))
         if include_attributes:
-            out = out.join(self.attributes_map(), "doc_id", "left")
+            out = out.join(self.attributes_map(ids_df), "doc_id", "left")
         if include_score:
-            out = out.join(self.doc_scores().withColumnRenamed(
-                "score", "score"), "doc_id", "left")
+            out = out.join(self.doc_scores_for(ids_df), "doc_id", "left")
         if include_explanation:
-            out = out.join(self.explanation_structs(), "doc_id", "left")
+            out = out.join(self.explanation_structs(ids_df), "doc_id", "left")
         if include_source:
             out = out.join(self.docs.select("doc_id", "spans"), "doc_id",
                            "left")
@@ -354,7 +415,8 @@ class ResolutionJob:
     def resolve_seeded(self, seed_doc_ids, max_hops: int = 100,
                        edges: DataFrame | None = None) -> DataFrame:
         """seeded mode (≙ one reference resolution request): docs reachable
-        from the seeds within max_hops, with _hop ordinals (SURVEY §8 M6)."""
+        from the seeds within max_hops, with _hop/_query ordinals
+        (SURVEY §8 M6)."""
         if edges is None:
             edges = self.match_edges()
         if isinstance(seed_doc_ids, (list, tuple)):
@@ -363,7 +425,7 @@ class ResolutionJob:
         else:
             seeds = seed_doc_ids
         return bounded_label_propagation(
-            edges.select("doc_id_a", "doc_id_b"), seeds, max_hops=max_hops)
+            self._edges_q(edges), seeds, max_hops=max_hops)
 
 
 def resolve_all(spark: SparkSession, docs: DataFrame, model: Model,

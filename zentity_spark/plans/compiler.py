@@ -60,13 +60,25 @@ _PAIR_SEP = "§"
 @dataclass(frozen=True)
 class Scope:
     """≙ ``resolution/input/Input.java::parseScope`` (≈L380-600, SURVEY row 25):
-    include/exclude of resolvers, indices (sources) and attribute values."""
+    include/exclude of resolvers, indices (sources), attributes, and
+    attribute values.
+
+    * resolvers / sources / attributes: name lists — include (when non-empty,
+      only listed names participate) then exclude.  An excluded attribute is
+      not extracted, and resolvers requiring it become unusable (the
+      reference's query tree drops clauses for out-of-scope attributes).
+    * exclude_values: (attr, value_norm) pairs dropped at extraction.
+    * include_values: (attr, value_norm) pairs — for an attribute that
+      appears here, ONLY its listed values survive extraction."""
 
     include_resolvers: tuple = ()
     exclude_resolvers: tuple = ()
     include_sources: tuple = ()
     exclude_sources: tuple = ()
+    include_attributes: tuple = ()
+    exclude_attributes: tuple = ()
     exclude_values: tuple = ()   # (attr, value_norm) pairs dropped at extraction
+    include_values: tuple = ()   # (attr, value_norm) keep-only pairs
 
     def resolver_active(self, name: str) -> bool:
         if self.include_resolvers and name not in self.include_resolvers:
@@ -77,6 +89,11 @@ class Scope:
         if self.include_sources and name not in self.include_sources:
             return False
         return name not in self.exclude_sources
+
+    def attribute_active(self, name: str) -> bool:
+        if self.include_attributes and name not in self.include_attributes:
+            return False
+        return name not in self.exclude_attributes
 
 
 def _window_days(params: dict) -> int:
@@ -118,6 +135,19 @@ class CompiledPlan:
         return {"date": "date", "number": "number",
                 "boolean": "bool"}.get(a.type, "none")
 
+    def effective_matcher(self, m, attr: str, input_params: dict | None = None):
+        """params cascade (SURVEY row 29, ``Job.java::makeAttributeClauses``
+        params merge ≈L320-360): matcher.params ⊕ model-attribute.params ⊕
+        input-attribute.params, rightmost wins.  Attribute params that only
+        drive extraction (normalizer/format) ride along harmlessly —
+        matcher predicates read only their own keys."""
+        import dataclasses
+        a = self.model.attributes[attr]
+        p = {**m.params, **a.params, **(input_params or {})}
+        if p == m.params:
+            return m
+        return dataclasses.replace(m, params=p)
+
     def norm_sql(self, attr: str, col: str, dialect: str) -> str:
         """normalizer expression for one attribute; date normalizers honor
         the model's ``params.format`` (``DateValue.java`` parse format)."""
@@ -134,6 +164,8 @@ class CompiledPlan:
             if not self.scope.source_active(src):
                 continue
             for f in ix.fields:
+                if not self.scope.attribute_active(f.attribute):
+                    continue
                 t = (src, f.span_field, f.attribute)
                 if t not in out:
                     out.append(t)
@@ -144,6 +176,8 @@ class CompiledPlan:
         across active sources — used for KEY emission only (the query side
         of a reference leaf probes every field with every harvested value,
         so key emission is field-agnostic; see module doc)."""
+        if not self.scope.attribute_active(attr):
+            return []
         best: dict = {}
         for src, ix in self.model.indices.items():
             if not self.scope.source_active(src):
@@ -155,7 +189,8 @@ class CompiledPlan:
                 cur = best.get(f.matcher)
                 if cur is None or q > cur:
                     best[f.matcher] = q
-        return [(m, self.model.matchers[m], best[m]) for m in sorted(best)]
+        return [(m, self.effective_matcher(self.model.matchers[m], attr),
+                 best[m]) for m in sorted(best)]
 
     def attr_bindings(self, attr: str):
         """[(span_field, matcher_name, Matcher, field_quality)] — the
@@ -165,6 +200,8 @@ class CompiledPlan:
         the max across sources declaring the same binding (the reference
         scores per (attr, matcher, index, field); we collapse the index
         dimension — documented granularity choice)."""
+        if not self.scope.attribute_active(attr):
+            return []
         best: dict = {}
         for src, ix in self.model.indices.items():
             if not self.scope.source_active(src):
@@ -176,7 +213,9 @@ class CompiledPlan:
                 k = (f.span_field, f.matcher)
                 if k not in best or q > best[k]:
                     best[k] = q
-        return [(fld, mn, self.model.matchers[mn], best[(fld, mn)])
+        return [(fld, mn,
+                 self.effective_matcher(self.model.matchers[mn], attr),
+                 best[(fld, mn)])
                 for fld, mn in sorted(best)]
 
     def attr_fields(self, attr: str):
@@ -235,6 +274,14 @@ class CompiledPlan:
             excl = " AND NOT (" + " OR ".join(
                 f"(attr = {_q(a)} AND value_norm = {_q(v)})"
                 for a, v in self.scope.exclude_values) + ")"
+        if self.scope.include_values:
+            by_attr: dict = {}
+            for a, v in self.scope.include_values:
+                by_attr.setdefault(a, []).append(v)
+            for a, vs in sorted(by_attr.items()):
+                vals = ", ".join(_q(v) for v in sorted(vs))
+                excl += (f" AND (attr <> {_q(a)} "
+                         f"OR value_norm IN ({vals}))")
         return (
             "SELECT doc_id, source, attr, field, value_norm FROM ("
             "  SELECT doc_id, source, attr, field,"
@@ -548,6 +595,8 @@ class CompiledPlan:
         field-scoped matcher binding (only emitted for attributes mapped
         through more than one field; a single-field attribute's scoped list
         IS vl_{i})."""
+        if not self.scored_attrs():
+            return "SELECT '' AS doc_id WHERE 1=0"
         cols = []
         for i, a in enumerate(self.scored_attrs()):
             cols.append(f"{self._vlist_agg(f'attr = {_q(a)}', dialect)} AS vl_{i}")
@@ -717,14 +766,20 @@ class CompiledPlan:
 
     # ---------- seeded input (rows 13/21/24: ids / snowball / terms) ----------
 
-    def seed_ctes(self, probe: dict, dialect: str) -> list:
+    def seed_ctes(self, probe: dict, dialect: str,
+                  input_params: dict | None = None) -> list:
         """CTEs computing ``seed_docs_x(doc_id)``: the docs the reference's
         FIRST hop would return for input attribute values ``probe``
         ({attr: [normalized values]}) — per resolver whose attributes all
         have probe values, candidate docs share a blocking key with the
         probe on every attribute and verify under the attribute's matchers
         (``Job.java::makeResolversFilterTree`` applied to the input value
-        set, ≈L560-640)."""
+        set, ≈L560-640).  ``input_params`` ({attr: {param: value}}) is the
+        input level of the params cascade — it overrides matcher params in
+        the VERIFICATION flags (the reference builds its query clauses with
+        the cascaded params; blocking-key recall stays on the model-level
+        contracts)."""
+        input_params = input_params or {}
         rows = [(a, v) for a, vs in sorted(probe.items()) for v in vs]
         if not rows:
             return [("seed_docs_x", "SELECT '' AS doc_id WHERE 1=0")]
@@ -766,6 +821,7 @@ class CompiledPlan:
                 fields = self.attr_fields(a)
                 m_flags = []
                 for fld, _mn, m, _fq in self.attr_bindings(a):
+                    m = self.effective_matcher(m, a, input_params.get(a))
                     lst = (f"w.vl_{k}" if len(fields) == 1
                            else f"w.vlf_{k}_{fields.index(fld)}")
                     m_flags.append(
