@@ -72,23 +72,38 @@ def _checksum(e: DataFrame):
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """edges(doc_id_a, doc_id_b) → labels(doc_id, entity_id).
 
-    entity_id is the lexicographic minimum doc_id of the component (matches
-    the DuckDB recursive-CTE oracle).  Docs with no edges are absent from the
-    output — callers attach singletons with a left join.
+    entity_id is the minimum doc_id of the component under the id type's
+    ordering (for strings: lexicographic — matches the DuckDB recursive-CTE
+    oracle).  Docs with no edges are absent from the output — callers attach
+    singletons with a left join.
+
+    The round loop shrinks ``spark.sql.shuffle.partitions`` to fit the
+    (small, rapidly converging) edge relation: AQE's parallelism-first
+    coalescing keeps ~default-parallelism partitions, and per-task overhead
+    dominates these tiny star rounds otherwise.  Restored on exit.
     """
+    spark = edges.sparkSession
     e = _canon(edges).localCheckpoint()
-    if e.isEmpty():
+    n = e.count()
+    if n == 0:
         return e.select(F.col("u").alias("doc_id"), F.col("v").alias("entity_id"))
-    prev = None
-    for _ in range(max_iter):
-        # one checkpoint per round: large→small star fused into a single
-        # materialization (each localCheckpoint is an eager Spark job —
-        # per-round fixed cost matters more than lineage depth of 2)
-        e = _small_star(_large_star(e)).localCheckpoint()
-        cur = _checksum(e)
-        if cur == prev:
-            break
-        prev = cur
+    conf = spark.conf
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
+    cc_parts = max(8, min(int(prev_parts), n // 100_000 + 1))
+    conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+    try:
+        prev = None
+        for _ in range(max_iter):
+            # one checkpoint per round: large→small star fused into a single
+            # materialization (each localCheckpoint is an eager Spark job —
+            # per-round fixed cost matters more than lineage depth of 2)
+            e = _small_star(_large_star(e)).localCheckpoint()
+            cur = _checksum(e)
+            if cur == prev:
+                break
+            prev = cur
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_parts)
     # converged: e is a star forest with canonical (u, v), u < v — so u is
     # the component minimum (root) and v the member
     labels = e.select(F.col("v").alias("doc_id"), F.col("u").alias("entity_id"))
@@ -98,6 +113,37 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("entity_id").alias("entity_id"))
     )
+
+
+def connected_components_by_hash(edges: DataFrame,
+                                 max_iter: int = 50) -> DataFrame:
+    """connected components over 64-bit hashed node ids, canonical labels
+    restored afterwards → labels(doc_id, entity_id = min doc_id string of
+    the component).
+
+    The star rounds shuffle 8-byte longs instead of doc-id strings — the
+    single-socket scaling ceiling here is memory bandwidth on string-heavy
+    shuffles (BENCH/BASELINE.md), and CC is the most shuffle-round-heavy
+    stage.  The component label under hashed ids is an arbitrary-but-
+    consistent member; one groupBy(min doc_id) + join restores the
+    canonical lexicographic label the oracle expects.
+
+    xxhash64 collisions would merge two docs (p ≈ n²/2⁶⁵ — negligible at
+    sandbox scale; a 10¹²-doc deployment should widen to 128-bit ids, e.g.
+    two independent hash columns)."""
+    h = lambda c: F.expr(f"xxhash64({c})")
+    ie = edges.select(h("doc_id_a").alias("doc_id_a"),
+                      h("doc_id_b").alias("doc_id_b"))
+    labels_h = connected_components(ie, max_iter=max_iter)
+    nodes = (edges.select(F.col("doc_id_a").alias("doc_id"))
+             .union(edges.select("doc_id_b"))
+             .distinct()
+             .withColumn("hid", h("doc_id")))
+    member = labels_h.join(
+        nodes, labels_h.doc_id == nodes.hid
+    ).select(nodes.doc_id, F.col("entity_id").alias("comp"))
+    canon = member.groupBy("comp").agg(F.min("doc_id").alias("entity_id"))
+    return member.join(canon, "comp").select("doc_id", "entity_id")
 
 
 def bounded_label_propagation(edges: DataFrame, seeds: DataFrame,

@@ -19,7 +19,7 @@ from zentity_spark import dialect as D
 from zentity_spark.model import Model
 from zentity_spark.operators.cluster import (
     bounded_label_propagation,
-    connected_components,
+    connected_components_by_hash,
 )
 from zentity_spark.plans.compiler import CompiledPlan, Scope, compile_model
 
@@ -71,9 +71,17 @@ class ResolutionJob:
     # key joins per reference).  vals_x stays a CTE (only attributes_map
     # reads it — a separate materialization is a wasted barrier).
     def mat_stages(self):
-        cks = tuple(f"ck_{r.name}" for r in self.plan.active_resolvers())
-        levels = (("attrs_x",), ("keys_x", "vals_wide_x"))
-        return levels + ((cks,) if cks else ())
+        if os.environ.get("ZENTITY_MAT_ATTRS", "1") == "1":
+            levels = (("attrs_x",), ("keys_x", "vals_wide_x"))
+        else:
+            # A/B: skip the attrs barrier — keys/vals_wide recompute the
+            # (cheap) extract inline, one less sequential level
+            levels = (("keys_x", "vals_wide_x"),)
+        if os.environ.get("ZENTITY_MAT_CK", "1") == "1":
+            cks = tuple(f"ck_{r.name}" for r in self.plan.active_resolvers())
+            if cks:
+                levels = levels + (cks,)
+        return levels
 
     def materialize(self, stages=None) -> None:
         """write the fan-out stages to parquet once and substitute file
@@ -292,7 +300,8 @@ class ResolutionJob:
         through untouched (per-row span-sequence invariant)."""
         if edges is None:
             edges = self.match_edges()
-        labels = connected_components(edges.select("doc_id_a", "doc_id_b"))
+        labels = connected_components_by_hash(
+            edges.select("doc_id_a", "doc_id_b"))
         return (
             self.docs.join(labels, "doc_id", "left")
             .select(

@@ -498,66 +498,11 @@ class CompiledPlan:
         return " UNION ALL ".join(parts)
 
     # ---------- verification predicates ----------
-
-    def attr_pair_pred(self, attr: str, va: str, vb: str, dialect: str) -> str:
-        """OR over matchers mapped to attr, value-level, symmetric
-        (≙ attribute clause, ``Job.java::makeAttributeClauses`` ≈L300-460)."""
-        preds = []
-        for _, m, _fq in self.attr_matchers(attr):
-            preds.append(self.matcher_pred(m, va, vb, dialect))
-        return "(" + " OR ".join(preds) + ")"
-
-    def matcher_flag(self, m, va_list: str, vb_list: str, dialect: str) -> str:
-        """∃-pair match flag over two value lists for one matcher.
-
-        Native matchers inline the predicate inside nested exists() lambdas
-        (JVM codegen).  UDF-backed matchers (jaro_winkler on Spark) cannot
-        appear inside SQL lambdas (Spark UNSUPPORTED_FEATURE
-        LAMBDA_FUNCTION_WITH_PYTHON_UDF), so they take the whole value lists
-        into one Arrow-batched pandas UDF instead."""
-        if m.kind == "jaro_winkler" and dialect == D.SPARK:
-            thr = float(m.params.get("threshold", 0.9))
-            return (f"jaro_winkler_any_ge({va_list}, {vb_list}, "
-                    f"CAST({thr!r} AS DOUBLE))")
-        return self._exists_pair(
-            va_list, vb_list,
-            lambda x, y: self.matcher_pred(m, x, y, dialect), dialect)
-
-    def matcher_pred(self, m, x: str, y: str, dialect: str) -> str:
-        if m.kind == "exact":
-            return f"({x} = {y})"
-        if m.kind == "tokens":
-            return D.token_overlap(x, y, dialect)
-        if m.kind == "fuzzy":
-            fz = str(m.params.get("fuzziness", "auto")).lower()
-            if fz in ("auto", ""):
-                return D.lev_within_auto(x, y, dialect)
-            return D.lev_within(x, y, int(fz), dialect)
-        if m.kind == "phonetic":
-            if m.params.get("operator", "or") == "and":
-                return f"({self._ph_sig(x, dialect)} = {self._ph_sig(y, dialect)})"
-            return D.phonetic_token_eq(x, y, dialect)
-        if m.kind == "date_window":
-            return D.date_within(x, y, _window_days(m.params), dialect)
-        if m.kind == "jaro_winkler":
-            thr = float(m.params.get("threshold", 0.9))
-            # Spark: a registered vectorized pandas UDF (functions/similarity.py);
-            # DuckDB: the built-in. Both implement standard Jaro-Winkler.
-            fn = ("jaro_winkler_similarity" if dialect == D.DUCKDB
-                  else "jaro_winkler_sim")
-            return f"({fn}({x}, {y}) >= {thr})"
-        if m.kind == "ngram":
-            n = int(m.params.get("n", 3))
-            thr = float(m.params.get("jaccard", 0.5))
-            ga, gb = D.char_ngrams(x, n, dialect), D.char_ngrams(y, n, dialect)
-            if dialect == D.DUCKDB:
-                inter = f"len(list_distinct(list_intersect({ga}, {gb})))"
-                uni = f"len(list_distinct({ga} || {gb}))"
-            else:
-                inter = f"size(array_distinct(array_intersect({ga}, {gb})))"
-                uni = f"size(array_distinct(concat({ga}, {gb})))"
-            return f"(({inter}) >= {thr} * ({uni}))"
-        raise ValueError(f"unknown matcher kind {m.kind}")
+    # (the per-matcher comparisons live in _derive/_cmp above — analyzer
+    # work precomputed per doc, set-kinds as native overlap; the jaro_winkler
+    # Spark path is a whole-list Arrow pandas UDF because Python UDFs are
+    # illegal inside SQL lambdas — Spark UNSUPPORTED_FEATURE
+    # LAMBDA_FUNCTION_WITH_PYTHON_UDF)
 
     def _exists_pair(self, va_list: str, vb_list: str, pred, dialect: str) -> str:
         """∃ x ∈ va_list, y ∈ vb_list: pred(x, y) — multi-valued attribute
@@ -584,46 +529,184 @@ class CompiledPlan:
                     f"FILTER (WHERE {cond})))")
         return f"sort_array(collect_set(value_norm) FILTER (WHERE {cond}))"
 
-    def sql_vals_wide(self, dialect: str) -> str:
-        """one row per doc with a vlist column per scored attribute — the
-        verification joins hit this ONCE per pair side instead of once per
-        (pair side × attribute), cutting 2N shuffle joins to 2 per
-        resolver (the pair table is the biggest relation in the plan).
+    # ---------- derived comparison lists (per-doc precompute) ----------
+    #
+    # The ∃-pair verification lambdas would otherwise recompute analyzer
+    # expressions (phonetic codes, token splits, ngram sets, date parsing)
+    # once per VALUE PAIR per candidate pair.  Deriving them once per doc in
+    # vals_wide turns the hot matcher flags into native set-overlap
+    # (arrays_overlap / list_has_any) or integer comparisons — each doc's
+    # analysis is computed once, like ES computing analyzed subfields at
+    # INDEX time rather than query time (the reference's analyzers live in
+    # the index mapping — SURVEY §3 rows 8/10/11).
 
-        ``vl_{i}``: all values of attribute i.  ``vlf_{i}_{j}``: values
-        extracted at span field j of attribute i — the target side of a
-        field-scoped matcher binding (only emitted for attributes mapped
-        through more than one field; a single-field attribute's scoped list
-        IS vl_{i})."""
+    def _dkey(self, m) -> str | None:
+        """derived-column key for a matcher, or None when the comparison
+        runs over the raw value lists (exact/fuzzy/jaro_winkler)."""
+        if m.kind == "tokens":
+            return "tok"
+        if m.kind == "phonetic":
+            return ("psig" if m.params.get("operator", "or") == "and"
+                    else "pcode")
+        if m.kind == "date_window":
+            return "ed"
+        if m.kind == "ngram":
+            return f"ng{int(m.params.get('n', 3))}"
+        return None
+
+    def _derive(self, m, list_sql: str, dialect: str) -> str:
+        """derived comparison list for matcher kind over a raw value list."""
+        tr = "list_transform" if dialect == D.DUCKDB else "transform"
+        fl = "flatten"
+        dist = "list_distinct" if dialect == D.DUCKDB else "array_distinct"
+        kind = m.kind
+        if kind == "tokens":
+            return f"{dist}({fl}({tr}({list_sql}, x -> {D.tokens('x', dialect)})))"
+        if kind == "phonetic":
+            if m.params.get("operator", "or") == "and":
+                return f"{tr}({list_sql}, x -> {self._ph_sig('x', dialect)})"
+            return (f"{dist}({fl}({tr}({list_sql}, "
+                    f"x -> {D._phonetic_token_list('x', dialect)})))")
+        if kind == "date_window":
+            return f"{tr}({list_sql}, x -> {D.epoch_day('x', dialect)})"
+        if kind == "ngram":
+            n = int(m.params.get("n", 3))
+            return f"{tr}({list_sql}, x -> {D.char_ngrams('x', n, dialect)})"
+        return list_sql
+
+    def _cmp(self, m, la: str, lb: str, dialect: str) -> str:
+        """match flag over two DERIVED lists for one matcher.
+
+        Set-semantics kinds (exact/tokens/phonetic) reduce to one native
+        overlap test: ∃va,vb sharing an element ⟺ the flattened per-doc
+        sets overlap.  Pairwise kinds (fuzzy/date/ngram) keep the ∃-pair
+        lambda but over precomputed cheap elements (raw strings for
+        levenshtein, epoch-day ints, ngram arrays)."""
+        overlap = ("list_has_any" if dialect == D.DUCKDB
+                   else "arrays_overlap")
+        kind = m.kind
+        if kind in ("exact", "tokens", "phonetic"):
+            return f"{overlap}({la}, {lb})"
+        if kind == "date_window":
+            w = _window_days(m.params)
+            return self._exists_pair(
+                la, lb, lambda x, y: f"(abs({x} - {y}) <= {w})", dialect)
+        if kind == "ngram":
+            thr = float(m.params.get("jaccard", 0.5))
+            def pred(x, y):
+                if dialect == D.DUCKDB:
+                    inter = f"len(list_distinct(list_intersect({x}, {y})))"
+                    uni = f"len(list_distinct({x} || {y}))"
+                else:
+                    inter = f"size(array_distinct(array_intersect({x}, {y})))"
+                    uni = f"size(array_distinct(concat({x}, {y})))"
+                return f"(({inter}) >= {thr} * ({uni}))"
+            return self._exists_pair(la, lb, pred, dialect)
+        if kind == "fuzzy":
+            fz = str(m.params.get("fuzziness", "auto")).lower()
+            if fz in ("auto", ""):
+                return self._exists_pair(
+                    la, lb,
+                    lambda x, y: D.lev_within_auto(x, y, dialect), dialect)
+            return self._exists_pair(
+                la, lb,
+                lambda x, y: D.lev_within(x, y, int(fz), dialect), dialect)
+        if kind == "jaro_winkler":
+            thr = float(m.params.get("threshold", 0.9))
+            if dialect == D.SPARK:
+                return (f"jaro_winkler_any_ge({la}, {lb}, "
+                        f"CAST({thr!r} AS DOUBLE))")
+            return self._exists_pair(
+                la, lb,
+                lambda x, y: f"(jaro_winkler_similarity({x}, {y}) >= {thr})",
+                dialect)
+        raise ValueError(f"unknown matcher kind {kind}")
+
+    def _bcol(self, k: int, j: int | None, dk: str | None) -> str:
+        """vals_wide column name for (attr k, field variant j, derived kind)."""
+        base = f"d{dk}_{k}" if dk else f"vl_{k}"
+        return base if j is None else f"{base}_{j}"
+
+    def wide_spec(self):
+        """[(k, j|None, dk|None, matcher|None)] — the raw and derived list
+        columns vals_wide must carry: raw lists always; one derived list per
+        distinct matcher derived-kind, for the all-values variant and (for
+        multi-field attributes) each bound field's scoped variant."""
+        out = []
+        seen = set()
+        def add(k, j, dk, m):
+            if (k, j, dk) not in seen:
+                seen.add((k, j, dk))
+                out.append((k, j, dk, m))
+        for k, a in enumerate(self.scored_attrs()):
+            fields = self.attr_fields(a)
+            add(k, None, None, None)
+            for fld, _mn, m, _fq in self.attr_bindings(a):
+                dk = self._dkey(m)
+                if dk:
+                    add(k, None, dk, m)
+                if len(fields) > 1:
+                    j = fields.index(fld)
+                    add(k, j, None, None)
+                    if dk:
+                        add(k, j, dk, m)
+        return out
+
+    def sql_vals_wide(self, dialect: str) -> str:
+        """one row per doc with the raw + derived value lists per scored
+        attribute — the verification joins hit this ONCE per pair side
+        instead of once per (pair side × attribute), and every analyzer
+        expression (tokens/phonetic/ngrams/date parse) is computed once per
+        DOC here instead of once per candidate value pair (see the derived
+        comparison lists section above).
+
+        ``vl_{k}`` raw values of attribute k (``vlf``-style ``vl_{k}_{j}``
+        for field j of a multi-field attribute); ``d<kind>_{k}[_{j}]`` the
+        derived comparison lists."""
         if not self.scored_attrs():
             return "SELECT '' AS doc_id WHERE 1=0"
-        cols = []
-        for i, a in enumerate(self.scored_attrs()):
-            cols.append(f"{self._vlist_agg(f'attr = {_q(a)}', dialect)} AS vl_{i}")
+        spec = self.wide_spec()
+        raw_cols = []
+        for k, a in enumerate(self.scored_attrs()):
+            raw_cols.append(
+                f"{self._vlist_agg(f'attr = {_q(a)}', dialect)} AS vl_{k}")
             fields = self.attr_fields(a)
-            if len(fields) > 1:
-                for j, fld in enumerate(fields):
-                    cond = f"attr = {_q(a)} AND field = {_q(fld)}"
-                    cols.append(f"{self._vlist_agg(cond, dialect)} AS vlf_{i}_{j}")
-        return (f"SELECT doc_id, {', '.join(cols)} "
-                f"FROM attrs_x GROUP BY doc_id")
+            for (kk, j, dk, _m) in spec:
+                if kk == k and j is not None and dk is None:
+                    cond = (f"attr = {_q(a)} AND field = {_q(fields[j])}")
+                    raw_cols.append(
+                        f"{self._vlist_agg(cond, dialect)} AS vl_{k}_{j}")
+        outer = ["doc_id"]
+        for k, j, dk, m in spec:
+            raw = self._bcol(k, j, None)
+            if dk is None:
+                outer.append(raw)
+            else:
+                outer.append(
+                    f"{self._derive(m, raw, dialect)} AS {self._bcol(k, j, dk)}")
+        return (f"SELECT {', '.join(outer)} FROM ("
+                f"SELECT doc_id, {', '.join(raw_cols)} "
+                f"FROM attrs_x GROUP BY doc_id)")
 
     def binding_flag(self, attr: str, k: int, fld: str, m, wa: str, wb: str,
                      dialect: str) -> str:
         """∃-match flag for one (field, matcher) binding on a pair:
         one side's values AT the bound field against the other side's full
         value set, both directions (field-scoped target ≙ the reference
-        querying field F with every harvested value — module doc)."""
+        querying field F with every harvested value — module doc).
+        Compares the PRECOMPUTED derived lists (see _derive/_cmp)."""
+        dk = self._dkey(m)
         fields = self.attr_fields(attr)
         if len(fields) == 1:
             # single-field attribute: the scoped list IS the full list, and
-            # the matcher predicate is symmetric — one flag suffices
-            return self.matcher_flag(m, f"{wa}.vl_{k}", f"{wb}.vl_{k}", dialect)
+            # every matcher comparison is symmetric — one flag suffices
+            c = self._bcol(k, None, dk)
+            return self._cmp(m, f"{wa}.{c}", f"{wb}.{c}", dialect)
         j = fields.index(fld)
-        return ("(" + self.matcher_flag(
-                    m, f"{wa}.vlf_{k}_{j}", f"{wb}.vl_{k}", dialect)
-                + " OR " + self.matcher_flag(
-                    m, f"{wb}.vlf_{k}_{j}", f"{wa}.vl_{k}", dialect) + ")")
+        cs, ca = self._bcol(k, j, dk), self._bcol(k, None, dk)
+        return ("(" + self._cmp(m, f"{wa}.{cs}", f"{wb}.{ca}", dialect)
+                + " OR "
+                + self._cmp(m, f"{wb}.{cs}", f"{wa}.{ca}", dialect) + ")")
 
     def sql_edges_resolver(self, r, dialect: str) -> str:
         """verified edges for one resolver, WITH per-(attribute, field,
@@ -819,14 +902,23 @@ class CompiledPlan:
                 # F-scoped values vs the (field-less) probe values
                 k = attr_idx[a]
                 fields = self.attr_fields(a)
+                emitted = {(k2, j2, dk2)
+                           for k2, j2, dk2, _m in self.wide_spec()}
                 m_flags = []
                 for fld, _mn, m, _fq in self.attr_bindings(a):
                     m = self.effective_matcher(m, a, input_params.get(a))
-                    lst = (f"w.vl_{k}" if len(fields) == 1
-                           else f"w.vlf_{k}_{fields.index(fld)}")
+                    dk = self._dkey(m)
+                    j = None if len(fields) == 1 else fields.index(fld)
+                    if (k, j, dk) in emitted:
+                        lhs = f"w.{self._bcol(k, j, dk)}"
+                    else:
+                        # input params changed the derived kind (e.g. an
+                        # ngram n override) — derive from the raw list inline
+                        lhs = self._derive(
+                            m, f"w.{self._bcol(k, j, None)}", dialect)
+                    rhs = self._derive(m, plist(a), dialect)
                     m_flags.append(
-                        f"coalesce({self.matcher_flag(m, lst, plist(a), dialect)}"
-                        ", FALSE)")
+                        f"coalesce({self._cmp(m, lhs, rhs, dialect)}, FALSE)")
                 conds.append("(" + " OR ".join(m_flags) + ")")
             sql += " JOIN vals_wide_x w ON w.doc_id = c0.doc_id"
             seed_parts.append(sql + " WHERE " + " AND ".join(conds))
