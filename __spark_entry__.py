@@ -85,8 +85,7 @@ def _q_keys(spark, sf_dir):
 
 
 def _q_pairs(spark, sf_dir):
-    return _job(spark, sf_dir).stage(
-        "SELECT doc_id_a, doc_id_b, resolver FROM pairs_x", upto="pairs_x")
+    return _job(spark, sf_dir).candidate_pairs()
 
 
 def _q_edges(spark, sf_dir):

@@ -54,10 +54,11 @@ def test_metrics_lineage_written(spark, docs_sf0001, model, ckpt):
     with open(os.path.join(ckpt, "metrics.jsonl")) as f:
         rows = [json.loads(line) for line in f]
     stages = [r["stage"] for r in rows]
-    # keys_x / vals_wide_x / ck_* materialize concurrently → order varies
-    assert set(stages) == {"attrs_x", "keys_x", "vals_wide_x",
-                           "ck_r_email", "ck_r_name_dob", "ck_r_name_phone",
-                           "edges", "clusters"}
+    # keys_x / vals_wide_x materialize concurrently → order varies;
+    # ck_* stages appear only when the skew policy keeps a resolver's
+    # cap/salt machinery (the fixture corpus is provably under-threshold)
+    assert {"attrs_x", "keys_x", "vals_wide_x",
+            "edges", "clusters"} <= set(stages)
     assert stages[0] == "attrs_x" and stages[-1] == "clusters"
     assert all(r["rows_out"] > 0 and r["wall_ms"] > 0 for r in rows)
 

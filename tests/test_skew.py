@@ -97,3 +97,23 @@ def test_matches_duckdb_oracle_formulation(spark, tmp_path):
                    upto="pairs_x")
     want = sorted((a, b) for a, b, _ in duckdb.connect().execute(sql).fetchall())
     assert _pairs(job) == want
+
+
+def test_skew_policy_decisions(spark, model):
+    """the plan-time skew policy: benign corpora (composite-block upper
+    bound ≤ hot threshold) compile every resolver to the plain join; a
+    forced-low threshold keeps the machinery on."""
+    job = _job(spark, salt_min=16)
+    job.materialize()
+    assert job.plan.skew_policy == {"r": True}      # 300-doc hot block
+    job2 = _job(spark, salt_min=100000)             # threshold above block
+    job2.materialize()
+    assert job2.plan.skew_policy == {"r": False}
+    # the skew-free render has no window/salt machinery in the SQL
+    sql = job2.plan.sql(D.SPARK, "docs", 
+                        "SELECT * FROM pairs_x", upto="pairs_x")
+    assert "row_number" not in sql and "explode(sequence" not in sql
+    # ...while the hot render keeps it
+    sql_hot = job.plan.sql(D.SPARK, "docs",
+                           "SELECT * FROM pairs_x", upto="pairs_x")
+    assert "row_number" in sql_hot and "explode(sequence" in sql_hot

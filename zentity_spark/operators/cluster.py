@@ -31,7 +31,12 @@ def _canon(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    """connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u}).
+
+    NO intra-round dedup: the round's correctness doesn't need distinct
+    edges (the next round's groupBy folds duplicates), and each
+    dropDuplicates was a full extra shuffle — per-round stage latency is
+    the dominant fixed cost of the loop (BENCH/BASELINE.md round-2 fit)."""
     nbr = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = nbr.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     out = (
@@ -41,15 +46,16 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
     return out.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-    ).where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+    ).where(F.col("u") != F.col("v"))
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """orient edges large→small; connect all smaller neighbors (and u) to the
-    minimum of the small neighborhood."""
+    minimum of the small neighborhood.  Output deduped (it feeds the
+    convergence checksum, which needs a canonical edge set)."""
     d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
     m = d.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-    nodes = d.select("u", "v").union(d.select("u", F.col("u").alias("v"))).dropDuplicates()
+    nodes = d.select("u", "v").union(d.select("u", F.col("u").alias("v")))
     out = (
         nodes.join(m, "u")
         .select(F.col("v").alias("a"), F.col("m").alias("b"))
@@ -89,8 +95,13 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         return e.select(F.col("u").alias("doc_id"), F.col("v").alias("entity_id"))
     conf = spark.conf
     prev_parts = conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = conf.get("spark.sql.adaptive.enabled")
     cc_parts = max(8, min(int(prev_parts), n // 100_000 + 1))
     conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+    # AQE re-plans at every shuffle boundary — ~6 sequential planning waits
+    # per star round.  Partitioning is already sized explicitly above, so
+    # adaptive brings only latency inside this loop.
+    conf.set("spark.sql.adaptive.enabled", "false")
     try:
         prev = None
         for _ in range(max_iter):
@@ -104,6 +115,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             prev = cur
     finally:
         conf.set("spark.sql.shuffle.partitions", prev_parts)
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
     # converged: e is a star forest with canonical (u, v), u < v — so u is
     # the component minimum (root) and v the member
     labels = e.select(F.col("v").alias("doc_id"), F.col("u").alias("entity_id"))

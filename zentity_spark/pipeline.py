@@ -70,18 +70,49 @@ class ResolutionJob:
     # cold anti-join, hot semi-join — materializing avoids recomputing the
     # key joins per reference).  vals_x stays a CTE (only attributes_map
     # reads it — a separate materialization is a wasted barrier).
-    def mat_stages(self):
+    def _base_levels(self):
         if os.environ.get("ZENTITY_MAT_ATTRS", "1") == "1":
-            levels = (("attrs_x",), ("keys_x", "vals_wide_x"))
-        else:
-            # A/B: skip the attrs barrier — keys/vals_wide recompute the
-            # (cheap) extract inline, one less sequential level
-            levels = (("keys_x", "vals_wide_x"),)
-        if os.environ.get("ZENTITY_MAT_CK", "1") == "1":
-            cks = tuple(f"ck_{r.name}" for r in self.plan.active_resolvers())
-            if cks:
-                levels = levels + (cks,)
-        return levels
+            return (("attrs_x",), ("keys_x", "vals_wide_x"))
+        # A/B: skip the attrs barrier — keys/vals_wide recompute the
+        # (cheap) extract inline, one less sequential level
+        return (("keys_x", "vals_wide_x"),)
+
+    def _ck_level(self):
+        # only resolvers whose pair plan keeps the skew machinery
+        # reference their ck 3× (stats/anti/semi) and benefit from
+        # materialization; skew-free resolvers reference ck once
+        if os.environ.get("ZENTITY_MAT_CK", "1") != "1":
+            return ()
+        return tuple(f"ck_{r.name}"
+                     for r in self.plan.active_resolvers()
+                     if self.plan.resolver_needs_skew(r))
+
+    def mat_stages(self):
+        ck = self._ck_level()
+        return self._base_levels() + ((ck,) if ck else ())
+
+    def _compute_skew_policy(self) -> None:
+        """fill plan.skew_policy from the materialized keys stage: ONE
+        aggregate (max per-key block size per attribute) bounds every
+        resolver's composite block size from above — min over the
+        resolver's attributes, since a composite block shares every
+        per-attribute key.  Resolvers whose bound stays at or under the
+        hot threshold compile to plain self-joins (no window, no hot
+        stats, no salting).  The collect is a ≤#attributes-row plan-time
+        statistic, the same adaptive-planning category as AQE's runtime
+        stats."""
+        if self.plan.skew_policy is not None:
+            return
+        rows = self.stage(
+            "SELECT attr, max(c) AS mx FROM ("
+            "SELECT attr, key, count(*) AS c FROM keys_x "
+            "GROUP BY attr, key) GROUP BY attr",
+            upto="keys_x").collect()
+        mx = {r["attr"]: r["mx"] for r in rows}
+        thr = self.plan.hot_threshold
+        self.plan.skew_policy = {
+            r.name: min((mx.get(a, 0) for a in r.attributes), default=0) > thr
+            for r in self.plan.active_resolvers()}
 
     def materialize(self, stages=None) -> None:
         """write the fan-out stages to parquet once and substitute file
@@ -99,7 +130,14 @@ class ResolutionJob:
         import threading
         import time as _t
         if stages is None:
-            stages = self.mat_stages()
+            # base stages first; the keys statistics then decide which
+            # resolvers keep the skew machinery (and need ck materialized)
+            self.materialize(self._base_levels())
+            self._compute_skew_policy()
+            ck = self._ck_level()
+            if ck:
+                self.materialize((ck,))
+            return
         # ZENTITY_MAT=ckpt: materialize via localCheckpoint + temp views
         # (in-memory partitions, no parquet encode/decode round-trip).
         # Off by default: parquet is the resumable/lineage path, and temp

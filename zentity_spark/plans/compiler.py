@@ -122,6 +122,21 @@ class CompiledPlan:
     salt_min: int = 256
     salt_cells: int = 8
     presalt_cells: int = 32
+    # runtime skew policy (domain-level adaptive planning, SURVEY §5.3):
+    # {resolver_name: bool} — whether the resolver's pair generation needs
+    # the cap/salt machinery.  A composite block's size is bounded by
+    # min over the resolver's attributes of the max single-key block size,
+    # so when that bound ≤ hot_threshold the cap window / hot-stats /
+    # anti-joins / salting provably do nothing and are compiled away.
+    # None (no statistics yet) = machinery ON for every resolver — the
+    # scale-safe default.  ResolutionJob fills this from one aggregate over
+    # the materialized keys stage.
+    skew_policy: dict | None = None
+
+    def resolver_needs_skew(self, r) -> bool:
+        if self.skew_policy is None:
+            return True
+        return self.skew_policy.get(r.name, True)
 
     # ---------- plan-time lookups ----------
 
@@ -456,6 +471,16 @@ class CompiledPlan:
         salt_cells cells by doc-id hash, and cell-pair (i ≤ j) is produced
         by exactly one join partition, so a capped hot block's ~cap²/2
         pairs are emitted by ~cells²/2 tasks instead of one."""
+        if dialect == D.SPARK and not self.resolver_needs_skew(r):
+            # block sizes provably ≤ hot_threshold ≤ cap: plain self-join
+            # straight off the composite keys, no window / stats / salting
+            ck0 = f"ck_{r.name}"
+            return (
+                f"SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+                f"{_q(r.name)} AS resolver "
+                f"FROM {ck0} a JOIN {ck0} b "
+                f"ON a.ckey = b.ckey AND a.doc_id < b.doc_id"
+            )
         ck = f"ck_{r.name}_capped"
         simple = (
             f"SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
@@ -943,8 +968,14 @@ class CompiledPlan:
         for r in self.active_resolvers():
             out.append((f"ck_{r.name}", self.sql_resolver_ck(r, dialect)))
             if dialect == D.SPARK:
-                out.append((f"ck_{r.name}_stats", self.sql_ck_stats(r, dialect)))
-            out.append((f"ck_{r.name}_capped", self.sql_ck_capped(r, dialect)))
+                if self.resolver_needs_skew(r):
+                    out.append((f"ck_{r.name}_stats",
+                                self.sql_ck_stats(r, dialect)))
+                    out.append((f"ck_{r.name}_capped",
+                                self.sql_ck_capped(r, dialect)))
+            else:
+                out.append((f"ck_{r.name}_capped",
+                            self.sql_ck_capped(r, dialect)))
         out.append(("pairs_x", self.sql_pairs(dialect)))
         out.append(("vals_x", self.sql_vals(dialect)))
         out.append(("vals_wide_x", self.sql_vals_wide(dialect)))
