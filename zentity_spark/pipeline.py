@@ -194,6 +194,18 @@ class ResolutionJob:
                 path = os.path.join(self._ckpt_dir, st)
                 self._replace[st] = f"parquet.`{path}`"
 
+    def cache_stages_under(self, base: str) -> "ResolutionJob":
+        """share materialized stages across jobs: the checkpoint dir becomes
+        ``base/<fingerprint>``, so any job with the same (model, scope,
+        block_cap, input files) reuses already-written stage parquet
+        (idempotent via per-stage _SUCCESS markers) instead of re-deriving
+        it into a fresh mkdtemp.  The dir is NOT owned (never auto-deleted
+        by unpersist) — callers manage ``base``'s lifetime."""
+        os.makedirs(base, exist_ok=True)
+        self._ckpt_dir = os.path.join(base, self.fingerprint())
+        self._owns_ckpt_dir = False
+        return self
+
     def unpersist(self) -> None:
         """drop stage substitutions and remove the job-owned scratch dir
         (user-supplied checkpoint dirs are never deleted)."""
