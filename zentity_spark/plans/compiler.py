@@ -320,10 +320,28 @@ class CompiledPlan:
           g: char-ngram
         Recall contract per matcher kind (SURVEY §5.3):
           exact → x;  tokens → t;  phonetic(and) → p (signature), (or) → t of
-          codes;  fuzzy → x ∪ t ∪ p (≥1 unedited token, or phonetic-preserving
-          edit, or exact);  date_window → d over window-sized buckets, each
-          value emits bucket and bucket+1 so any pair within the window shares
-          a bucket;  jaro_winkler → t ∪ p;  ngram → g.
+          codes;  date_window → d over window-sized buckets, each value emits
+          bucket and bucket+1 so any pair within the window shares a bucket;
+          jaro_winkler → t ∪ p ∪ q (q = first-letter-insensitive phonetic
+          signature — catherine/katherine share it; JW itself admits no
+          complete blocking, so the contract is documented: shared token, or
+          phonetic-equal signature modulo token initials);  ngram → g;
+          fuzzy → COMPLETE for the verification predicate
+          lev(a, b) ≤ k(min(len)) with k = auto (0 / 1 / 2 by length):
+            x            always                  (covers k = 0: a = b)
+            e1: del≤1(v) for len(v) ∈ [3, 6]     (covers k = 1 pairs: both
+                 sides' ≤1-deletion neighborhoods intersect; k=1 pairs have
+                 min len ∈ [3, 5] and |Δlen| ≤ 1 → both ends ≤ 6)
+            e2: del≤2(v) for len(v) ∈ [6, 10]    (covers k = 2 pairs with
+                 min len ∈ [6, 8]; |Δlen| ≤ 2 → both ends ≤ 10)
+            f3: 3-grams  for len(v) ≥ 9          (k = 2 pairs with both ends
+                 ≥ 9: q-gram lemma — shared grams ≥ min_len − 3 + 1 − 2·3 ≥ 1)
+          The reference's ES ``match``+``fuzziness`` expands query terms in
+          the term index with an edit-distance automaton, i.e. its candidate
+          recall is complete — this scheme is the batch equivalent
+          (VERDICT r2 missing #1: the old x ∪ t ∪ p heuristic missed e.g.
+          carton/carson).  Hot deletion/gram keys are handled by the same
+          cap/salt machinery as every other key.
         """
         src = (f"(SELECT DISTINCT doc_id, value_norm FROM {attrs_rel} "
                f"WHERE attr = {_q(attr)})")
@@ -347,14 +365,42 @@ class CompiledPlan:
             if kind == "exact":
                 branches.append(
                     f"SELECT doc_id, {_q(attr)} AS attr, 'x:' || value_norm AS key FROM {src}")
-            elif kind in ("tokens", "jaro_winkler", "fuzzy"):
+            elif kind == "tokens":
                 branches.append(exploded("t", D.tokens("value_norm", dialect)))
-                if kind == "fuzzy":
-                    branches.append(
-                        f"SELECT doc_id, {_q(attr)} AS attr, 'x:' || value_norm AS key FROM {src}")
-                if kind in ("fuzzy", "jaro_winkler"):
-                    branches.append(
-                        f"SELECT doc_id, {_q(attr)} AS attr, 'p:' || {self._ph_sig('value_norm', dialect)} AS key FROM {src}")
+            elif kind == "jaro_winkler":
+                branches.append(exploded("t", D.tokens("value_norm", dialect)))
+                branches.append(
+                    f"SELECT doc_id, {_q(attr)} AS attr, 'p:' || {self._ph_sig('value_norm', dialect)} AS key FROM {src}")
+                branches.append(
+                    f"SELECT doc_id, {_q(attr)} AS attr, 'q:' || {self._ph_sig_stripped('value_norm', dialect)} AS key FROM {src}")
+            elif kind == "fuzzy":
+                branches.append(
+                    f"SELECT doc_id, {_q(attr)} AS attr, 'x:' || value_norm AS key FROM {src}")
+                v, L = "value_norm", "length(value_norm)"
+                empty = "[]" if dialect == D.DUCKDB else "array()"
+                def banded(list_sql: str, cond: str) -> str:
+                    return f"CASE WHEN {cond} THEN {list_sql} ELSE {empty} END"
+                fz = str(m.params.get("fuzziness", "auto")).lower()
+                if fz in ("auto", ""):
+                    branches.append(exploded("e1", banded(
+                        D.del1_list(v, dialect), f"{L} BETWEEN 3 AND 6")))
+                    branches.append(exploded("e2", banded(
+                        D.del2_list(v, dialect), f"{L} BETWEEN 6 AND 10")))
+                    branches.append(exploded("f3", banded(
+                        D.char_ngrams(v, 3, dialect), f"{L} >= 9")))
+                elif int(fz) == 1:
+                    branches.append(exploded("e1", D.del1_list(v, dialect)))
+                elif int(fz) == 2:
+                    # len-1 values: del≤1 IS del≤2 (emitted into e2 space)
+                    branches.append(exploded("e2", banded(
+                        D.del2_list(v, dialect), f"{L} BETWEEN 2 AND 10")))
+                    branches.append(exploded("e2", banded(
+                        D.del1_list(v, dialect), f"{L} = 1")))
+                    branches.append(exploded("f3", banded(
+                        D.char_ngrams(v, 3, dialect), f"{L} >= 9")))
+                elif int(fz) != 0:
+                    raise ValueError(
+                        f"unsupported fuzziness {fz!r} (auto, 0, 1, 2)")
             elif kind == "phonetic":
                 if m.params.get("operator", "or") == "and":
                     branches.append(
@@ -380,6 +426,18 @@ class CompiledPlan:
         """sorted '|'-joined phonetic codes of all tokens — the 'and'
         phonetic signature."""
         lst = D._phonetic_token_list(c, dialect)
+        if dialect == D.DUCKDB:
+            return f"array_to_string(list_sort({lst}), '|')"
+        return f"array_join(array_sort({lst}), '|')"
+
+    def _ph_sig_stripped(self, c: str, dialect: str) -> str:
+        """the phonetic signature over FIRST-LETTER-INSENSITIVE codes —
+        the 'q' blocking key for edit-tolerant matchers (VERDICT r2 #1:
+        catherine/katherine share it while their 'p' codes differ)."""
+        t = D.tokens(c, dialect)
+        inner = D.phonetic_code_stripped("x", dialect)
+        tr = "list_transform" if dialect == D.DUCKDB else "transform"
+        lst = f"{tr}({t}, x -> {inner})"
         if dialect == D.DUCKDB:
             return f"array_to_string(list_sort({lst}), '|')"
         return f"array_join(array_sort({lst}), '|')"

@@ -114,6 +114,25 @@ def _typo(rng: random.Random, name: str) -> str:
     return " ".join(toks)
 
 
+def _first_typo(rng: random.Random, name: str) -> str:
+    """catherine/katherine-class mutation: substitute the FIRST letter of
+    one token AND a mid-token consonant of the other (lev = 2, within
+    fuzzy-auto reach for names ≥ 6 chars) — shares NO token, NO exact key,
+    and different phonetic codes with the original, so resolving it
+    requires the complete deletion/gram blocking keys (VERDICT r2 #1).
+    Applied only to two-token names ≥ 11 chars (keeps lev-auto k = 2)."""
+    toks = name.split(" ")
+    if len(toks) != 2 or len(name) < 11 or min(map(len, toks)) < 4:
+        return name
+    a, b = toks
+    c0 = rng.choice([x for x in _CONSONANTS if x != a[0]])
+    a = c0 + a[1:]
+    pos = rng.randrange(1, len(b))
+    c1 = rng.choice([x for x in _CONSONANTS if x != b[pos]])
+    b = b[:pos] + c1 + b[pos + 1:]
+    return f"{a} {b}"
+
+
 def _phonetic_variant(rng: random.Random, name: str) -> str:
     """swap one non-initial vowel for another → same phonetic code (vowels
     are class-0, dropped) AND one edit (also within fuzzy reach)."""
