@@ -206,7 +206,7 @@ def generate(n_persons: int, seed: int = SEED, docs_lo: int = 2,
                 src = rng.choice("abcd")
                 op = rng.choice(
                     ["none", "typo", "phonetic", "dob_shift", "drop_attr",
-                     "alt_field"])
+                     "alt_field", "first_typo"])
             doc_id = f"{src}-{seq[src]:06d}"
             seq[src] += 1
 
@@ -219,6 +219,15 @@ def generate(n_persons: int, seed: int = SEED, docs_lo: int = 2,
             else:
                 if op == "typo":
                     name = _typo(rng, name)
+                elif op == "first_typo":
+                    # the name is only reachable via the fuzzy matcher
+                    # (bound to full_name_alt), and with email dropped the
+                    # doc's ONLY resolution paths are r_name_dob /
+                    # r_name_phone through that fuzzy leaf — end-to-end
+                    # evidence for the complete fuzzy blocking keys
+                    name_field = "full_name_alt"
+                    name = _first_typo(rng, name)
+                    dropped = "email"
                 elif op == "phonetic":
                     name = _phonetic_variant(rng, name)
                 elif op == "dob_shift":
