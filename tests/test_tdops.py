@@ -156,3 +156,64 @@ def test_ngram_df_cap_bounds_hot_shingle(duck):
         "WITH " + sql.split("WITH ", 1)[1].rsplit("\n", 1)[0].rsplit(
             ",\nnsh", 1)[0] + "\nSELECT count(*) FROM cand").fetchone()[0]
     assert n_cand == 1
+
+
+def _jpair_corpus():
+    """doc pairs at EXACT shingle-set Jaccard {0.2, 0.5, 0.8} by
+    construction: each doc = p unique-prefix tokens + s shared tokens, so
+    shingles = p+s-2 per doc, shared = s-2, union = 2(p+s-2)-(s-2), and
+    (p, s) ∈ {(8,6), (5,12), (2,18)} lands j exactly on target.  All
+    tokens carry the (level, pair) index → zero cross-pair overlap."""
+    geometry = {0.2: (8, 6), 0.5: (5, 12), 0.8: (2, 18)}
+    n_pairs = {0.2: 150, 0.5: 60, 0.8: 60}
+    rows, truth = [], {j: [] for j in geometry}
+    for lvl, (p, s) in geometry.items():
+        l = int(lvl * 10)
+        for i in range(n_pairs[lvl]):
+            shared = " ".join(f"s{l}x{i}t{k}" for k in range(s))
+            ida, idb = 10000 * l + 2 * i, 10000 * l + 2 * i + 1
+            rows.append((ida, " ".join(f"a{l}x{i}t{k}" for k in range(p))
+                         + " " + shared))
+            rows.append((idb, " ".join(f"b{l}x{i}t{k}" for k in range(p))
+                         + " " + shared))
+            truth[lvl].append((ida, idb))
+    return rows, truth
+
+
+def _minhash_cand_recall(con, truth, k, bands):
+    sql = tdops._with(
+        tdops._shingle_ctes("jp", D.DUCKDB)
+        + tdops._minhash_cand_ctes(D.DUCKDB, k, bands),
+        "SELECT a, b FROM cand")
+    cand = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    return {j: sum(1 for p in ps if p in cand) / len(ps)
+            for j, ps in truth.items()}
+
+
+def test_minhash_prod_candidate_recall():
+    """the production LSH tier (K=128, b=64, r=2) must deliver candidate
+    recall ≥ 0.9 at j = τ = 0.2 and ~1.0 above — the oracle tier (K=16)
+    is a parity demo whose recall at the threshold is far lower, which is
+    exactly why the production defaults exist (VERDICT r2 'what's wrong'
+    #3).  Deterministic: hashes are md5 of fixed token strings."""
+    rows, truth = _jpair_corpus()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE jp (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO jp VALUES (?, ?)", rows)
+    # sanity: constructed pairs sit at the exact target jaccard
+    ver = {(r[0], r[1]): r[2] for r in con.execute(
+        tdops.sql_minhash_pairs("jp", D.DUCKDB, k=tdops.MINHASH_K_PROD,
+                                bands=tdops.MINHASH_BANDS_PROD,
+                                tau=0.0)).fetchall()}
+    for j, ps in truth.items():
+        for p in ps:
+            if p in ver:
+                assert ver[p] == pytest.approx(j)
+    rec = _minhash_cand_recall(con, truth, tdops.MINHASH_K_PROD,
+                               tdops.MINHASH_BANDS_PROD)
+    assert rec[0.2] >= 0.9, rec
+    assert rec[0.5] == 1.0 and rec[0.8] == 1.0, rec
+    # and the oracle tier really is the weaker parity demo
+    rec16 = _minhash_cand_recall(con, truth, tdops.MINHASH_K,
+                                 tdops.MINHASH_BANDS)
+    assert rec16[0.2] < rec[0.2]

@@ -25,8 +25,17 @@ import hashlib
 
 from zentity_spark import dialect as D
 
-MINHASH_K = 16          # minhash permutations
+MINHASH_K = 16          # ORACLE-TIER minhash permutations (kept small so
+                        # the DuckDB side-by-side stays cheap; candidate
+                        # recall at j = τ is only ~0.28 — a parity demo)
 MINHASH_BANDS = 8       # → rows-per-band r = K / BANDS = 2
+MINHASH_K_PROD = 128    # PRODUCTION tier: 128 permutations
+MINHASH_BANDS_PROD = 64 # → r = 2, b = 64.  Candidate P(j) = 1-(1-j²)^64:
+                        # 0.93 at j = 0.2 (= τ), ≈1.0 at j ≥ 0.3.  NOTE
+                        # r = 4 / b = 32 (same K) would give P(0.2) ≈ 0.05
+                        # — banding must target the verify threshold
+                        # (S-curve midpoint (1/b)^(1/r) = 0.125 < τ), so
+                        # more bands of 2 rows, not fewer of 4.
 JACCARD_TAU = 0.2       # verify threshold for near-dup pairs
 NGRAM_DF_CAP = 100      # shingles in more docs than this are not candidate
                         # keys (a boilerplate shingle shared by 10⁶ docs
@@ -201,18 +210,17 @@ def _jaccard_verify_sql(dialect: str) -> list:
     ]
 
 
-def sql_minhash_pairs(rel: str, dialect: str) -> str:
-    """MinHash + LSH near-dup pairs: K hash reps → bands → band-key
-    equi-join → exact-Jaccard verify ≥ tau.
-
-    The band key is an order-insensitive XOR of per-(rep, minhash) hashes,
-    so banding needs no ordered string-agg (portable + shuffle-friendly)."""
+def _minhash_cand_ctes(dialect: str, k: int, bands: int) -> list:
+    """sh → LSH candidate pairs (cand): K hash reps → bands of r = K/bands
+    rows → band-key equi-join.  The band key is an order-insensitive XOR of
+    per-(rep, minhash) hashes, so banding needs no ordered string-agg
+    (portable + shuffle-friendly)."""
     sty = _sty(dialect)
     h = D.md5_int64(f"(shingle || '#' || CAST(j AS {sty}))", dialect)
     bk = D.md5_int64(f"(CAST(j AS {sty}) || ':' || CAST(h AS {sty}))", dialect)
-    r = MINHASH_K // MINHASH_BANDS
-    ctes = _shingle_ctes(rel, dialect) + [
-        ("js", _seq(MINHASH_K, dialect)),
+    r = k // bands
+    return [
+        ("js", _seq(k, dialect)),
         ("mh", f"SELECT doc_id, j, min({h}) AS h "
                "FROM sh CROSS JOIN js GROUP BY doc_id, j"),
         ("bands", f"SELECT doc_id, CAST(floor(j / {r}) AS INT) AS band, "
@@ -221,9 +229,28 @@ def sql_minhash_pairs(rel: str, dialect: str) -> str:
         ("cand", "SELECT DISTINCT a.doc_id AS a, b.doc_id AS b "
                  "FROM bands a JOIN bands b ON a.band = b.band "
                  "AND a.band_key = b.band_key AND a.doc_id < b.doc_id"),
-    ] + _jaccard_verify_sql(dialect)
+    ]
+
+
+def sql_minhash_pairs(rel: str, dialect: str, k: int = MINHASH_K,
+                      bands: int = MINHASH_BANDS,
+                      tau: float = JACCARD_TAU) -> str:
+    """MinHash + LSH near-dup pairs: LSH candidates (``_minhash_cand_ctes``)
+    → exact-Jaccard verify ≥ tau.  Defaults are the cheap oracle tier;
+    production deployments pass k = MINHASH_K_PROD / bands =
+    MINHASH_BANDS_PROD (candidate recall ≥ 0.9 at j = τ, pinned by
+    tests/test_tdops.py::test_minhash_prod_candidate_recall)."""
+    ctes = (_shingle_ctes(rel, dialect)
+            + _minhash_cand_ctes(dialect, k, bands)
+            + _jaccard_verify_sql(dialect))
     return _with(ctes, "SELECT doc_id_a, doc_id_b, jaccard FROM verified "
-                       f"WHERE jaccard >= {JACCARD_TAU!r}")
+                       f"WHERE jaccard >= {tau!r}")
+
+
+def sql_minhash_prod_pairs(rel: str, dialect: str) -> str:
+    """production-tier MinHash near-dup pairs (K=128, b=64, r=2)."""
+    return sql_minhash_pairs(rel, dialect, k=MINHASH_K_PROD,
+                             bands=MINHASH_BANDS_PROD)
 
 
 def sql_ngram_jaccard_pairs(rel: str, dialect: str,
@@ -414,6 +441,7 @@ DOC_OPS = {
     "td_lang_id": sql_lang_id,
     "td_exact_dupes": sql_exact_dupes,
     "td_minhash_pairs": sql_minhash_pairs,
+    "td_minhash_prod_pairs": sql_minhash_prod_pairs,
     "td_ngram_jaccard_pairs": sql_ngram_jaccard_pairs,
     "td_simhash": sql_simhash,
     "td_simhash_pairs": sql_simhash_pairs,
