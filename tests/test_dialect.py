@@ -147,3 +147,57 @@ def test_date_within(spark):
         ("1984-03-02", "1984-03-02"),
     ])
     assert got == [True, False, True]
+
+
+# --- extended Java date-format coverage (VERDICT r2 "what's missing" #3) ---
+
+_FMT_CASES = {
+    "yyyy-MM-dd'T'HH:mm:ss": ["2021-03-04T05:06:07", "1999-12-31T23:59:59",
+                              "2021-03-04 05:06:07", "garbage"],
+    "yyyy-MM-dd HH:mm:ss.SSS": ["2021-03-04 05:06:07.123",
+                                "2021-03-04 05:06:07", "x"],
+    "dd/MM/yyyy hh:mm a": ["04/03/2021 05:06 PM", "31/12/1999 11:59 AM",
+                           "bad"],
+    "M/d/yyyy": ["3/4/2021", "12/31/1999", "nope"],
+    "epoch_millis": ["1614816000000", "0", "-86400000", "notanum"],
+    "epoch_second": ["1614816000", "0", "-86400", ""],
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(_FMT_CASES))
+def test_norm_date_formats_agree(spark, fmt):
+    """every supported format token parses identically in both engines and
+    canonicalizes to yyyy-MM-dd (unparseable → NULL in both)."""
+    build = lambda c, dialect: D.norm_date(c, dialect, fmt)
+    vals = _spark_eval(spark, build("c", D.SPARK), _FMT_CASES[fmt])
+    dvals = _duck_eval(build("c", D.DUCKDB), _FMT_CASES[fmt])
+    assert vals == dvals, f"{fmt}: spark={vals} duck={dvals}"
+    assert any(v is not None for v in vals), f"{fmt}: all values dropped"
+
+
+def test_date_format_validation():
+    for ok in list(_FMT_CASES) + ["yyyy-MM-dd", "dd/MM/yyyy",
+                                  "'on' yyyy-MM-dd 'it''s' HH:mm"]:
+        D.validate_date_format(ok)
+    for bad in ["yyyy-MM-dd XXX", "yyyy-MM-ddZ", "epoch_micros",
+                "yyyy-'MM-dd", "GGGG-MM-dd", "yyyy-MM-dd HH:mm:ss.SS",
+                "yy-MM-dd"]:
+        with pytest.raises(ValueError):
+            D.validate_date_format(bad)
+
+
+def test_model_rejects_untranslatable_date_format():
+    import json
+    from zentity_spark.model import Model, ValidationError
+    spec = {
+        "attributes": {"dob": {"type": "date",
+                               "params": {"format": "yyyy-MM-dd'T'HH:mm:ssXXX"}}},
+        "resolvers": {"r": {"attributes": ["dob"]}},
+        "matchers": {"x": {"clause": {"term": {"{{ field }}": "{{ value }}"}}}},
+        "indices": {"i": {"fields": {"dob_f": {"attribute": "dob",
+                                               "matcher": "x"}}}},
+    }
+    with pytest.raises(ValidationError, match="XXX"):
+        Model.parse(json.dumps(spec))
+    spec["attributes"]["dob"]["params"]["format"] = "epoch_millis"
+    Model.parse(json.dumps(spec))

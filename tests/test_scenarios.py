@@ -289,3 +289,56 @@ def test_max_time_per_query_budget(spark, model):
            job.resolve_input(ids=["a-000001"], max_hops=5,
                              max_time_per_query=0.0).collect()}
     assert cut == {"a-000001": 0}
+
+
+# --- S-time: time-bearing date format through the full pipeline
+# (VERDICT r2 next-round #6: an er2-class variant whose date attribute
+# carries 'T'HH:mm:ss — parse honors the full pattern, identity + the
+# range matcher operate on the canonical DAY)
+
+def test_s_time_bearing_date_format(spark):
+    import json
+    from zentity_spark.model import Model
+    spec = {
+        "attributes": {
+            "who":  {"type": "string", "params": {"normalizer": "name"}},
+            "seen": {"type": "date", "score": 0.9,
+                     "params": {"format": "yyyy-MM-dd'T'HH:mm:ss",
+                                "normalizer": "date"}},
+        },
+        "resolvers": {"r_who_seen": {"attributes": ["who", "seen"]}},
+        "matchers": {
+            "exact": {"clause": {"term": {"{{ field }}": "{{ value }}"}},
+                      "quality": 1.0},
+            "win": {"clause": {"range": {"{{ field }}": {
+                        "gte": "{{ value }}||-{{ params.window }}",
+                        "lte": "{{ value }}||+{{ params.window }}",
+                        "format": "yyyy-MM-dd"}}},
+                    "params": {"window": "2d"}, "quality": 0.9},
+        },
+        "indices": {
+            "a": {"fields": {
+                "who_name": {"attribute": "who", "matcher": "exact"},
+                "seen_at": {"attribute": "seen", "matcher": "win"}}},
+            "b": {"fields": {
+                "who_name": {"attribute": "who", "matcher": "exact"},
+                "seen_at": {"attribute": "seen", "matcher": "win"}}},
+            "c": {"fields": {
+                "who_name": {"attribute": "who", "matcher": "exact"},
+                "seen_at": {"attribute": "seen", "matcher": "win"}}},
+        },
+    }
+    model = Model.parse(json.dumps(spec))
+    docs = [
+        ("a-000001", [("who_name", "ed yang"),
+                      ("seen_at", "1984-03-02T23:59:59")]),
+        # 2 days later by canonical day (seconds apart from midnight) → in
+        ("b-000001", [("who_name", "ed yang"),
+                      ("seen_at", "1984-03-04T00:00:01")]),
+        # 5 days later → out of the ±2d window
+        ("c-000001", [("who_name", "ed yang"),
+                      ("seen_at", "1984-03-09T12:00:00")]),
+    ]
+    got, _ = resolve(spark, model, docs)
+    assert got == {frozenset({"a-000001", "b-000001"}),
+                   frozenset({"c-000001"})}

@@ -68,29 +68,112 @@ def norm_city(c: str, dialect: str) -> str:
     return f"trim({x})"
 
 
-# Java DateTimeFormatter tokens → C strptime tokens (DuckDB side).  Order
-# matters: longest tokens first so 'MM' is consumed before 'M' etc.
-JAVA2C_DATE = [("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
-               ("HH", "%H"), ("mm", "%M"), ("ss", "%S")]
+# Java DateTimeFormatter pattern support (model date ``format`` params —
+# ``resolution/input/value/DateValue.java`` ≈L20-120 accepts the full
+# DateTimeFormatter alphabet).  We translate the subset with faithful
+# equivalents in BOTH oracle engines (DuckDB strptime, Python
+# datetime.strptime); Model.parse REJECTS formats containing anything
+# else — zone/offset tokens (X/Z/z), week/era fields, etc. — instead of
+# silently mistranslating on the oracle side.
+_DATE_TOKENS = {
+    # java run: (duckdb/C strptime, python strptime)
+    # NO "yy": Java's reduced-year base (2000-2099) disagrees with the
+    # C/Python %y pivot (1969-2068) — rejected rather than mistranslated.
+    "yyyy": ("%Y", "%Y"),
+    "MM": ("%m", "%m"), "M": ("%m", "%m"),
+    "dd": ("%d", "%d"), "d": ("%d", "%d"),
+    "HH": ("%H", "%H"), "H": ("%H", "%H"),
+    "hh": ("%I", "%I"), "h": ("%I", "%I"),
+    "mm": ("%M", "%M"), "m": ("%M", "%M"),
+    "ss": ("%S", "%S"), "s": ("%S", "%S"),
+    "SSS": ("%g", "%f"),          # millis: DuckDB %g; python %f zero-pads
+    "a": ("%p", "%p"),            # AM/PM marker
+}
+EPOCH_DATE_FORMATS = ("epoch_millis", "epoch_second")
+
+
+def split_date_format(fmt: str) -> list:
+    """Java DateTimeFormatter pattern → [("tok", run) | ("lit", text)].
+    Quoted literals ('T', '' = literal quote) are honored.  Raises
+    ValueError on letter runs outside _DATE_TOKENS — surfaced by
+    Model.parse as a ValidationError at model load, never at query time."""
+    out, i, n = [], 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == "'":
+            j, lit = i + 1, []
+            while j < n:
+                if fmt[j] == "'":
+                    if j + 1 < n and fmt[j + 1] == "'":
+                        lit.append("'")
+                        j += 2
+                        continue
+                    break
+                lit.append(fmt[j])
+                j += 1
+            else:
+                raise ValueError(f"unterminated quote in date format {fmt!r}")
+            out.append(("lit", "".join(lit) or "'"))
+            i = j + 1
+        elif ch.isalpha():
+            j = i
+            while j < n and fmt[j] == ch:
+                j += 1
+            run = fmt[i:j]
+            if run not in _DATE_TOKENS:
+                raise ValueError(
+                    f"unsupported date format token {run!r} in {fmt!r} "
+                    f"(supported tokens: {sorted(_DATE_TOKENS)}; named "
+                    f"formats: {', '.join(EPOCH_DATE_FORMATS)})")
+            out.append(("tok", run))
+            i = j
+        else:
+            out.append(("lit", ch))
+            i += 1
+    return out
+
+
+def validate_date_format(fmt: str) -> None:
+    """raises ValueError if ``fmt`` is not fully translatable."""
+    if fmt not in EPOCH_DATE_FORMATS:
+        split_date_format(fmt)
+
+
+def _render_date_format(fmt: str, col: int) -> str:
+    return "".join(_DATE_TOKENS[v][col] if kind == "tok"
+                   else v.replace("%", "%%")
+                   for kind, v in split_date_format(fmt))
 
 
 def java_date_fmt_to_c(fmt: str) -> str:
-    out = fmt
-    for j, c in JAVA2C_DATE:
-        out = out.replace(j, c)
-    return out
+    return _render_date_format(fmt, 0)
+
+
+def java_date_fmt_to_py(fmt: str) -> str:
+    return _render_date_format(fmt, 1)
 
 
 def norm_date(c: str, dialect: str, fmt: str = "yyyy-MM-dd") -> str:
     """parse with the model's date ``format`` param (``model/Attribute.java``
     params → ``resolution/input/value/DateValue.java`` ≈L20-120), serialize
     to the canonical yyyy-MM-dd form.  Unparseable values → NULL (dropped at
-    extraction, like the reference dropping invalid typed values)."""
+    extraction, like the reference dropping invalid typed values).  Named
+    epoch formats read integer strings; both engines render in UTC (the
+    session factory pins spark.sql.session.timeZone=UTC)."""
+    if fmt in EPOCH_DATE_FORMATS:
+        if dialect == DUCKDB:
+            us = 1000 if fmt == "epoch_millis" else 1000000
+            return (f"strftime(make_timestamp(TRY_CAST(trim({c}) AS BIGINT) "
+                    f"* {us}), '%Y-%m-%d')")
+        fn = "timestamp_millis" if fmt == "epoch_millis" else "timestamp_seconds"
+        return (f"date_format({fn}(try_cast(trim({c}) AS BIGINT)), "
+                f"'yyyy-MM-dd')")
     if dialect == DUCKDB:
         return (f"strftime(try_strptime(trim({c}), "
                 f"'{java_date_fmt_to_c(fmt)}'), '%Y-%m-%d')")
-    return (f"date_format(try_to_timestamp(trim({c}), '{fmt}'), "
-            f"'yyyy-MM-dd')")
+    sql_fmt = fmt.replace("'", "''")    # SQL string escaping for quoted
+    return (f"date_format(try_to_timestamp(trim({c}), '{sql_fmt}'), "
+            f"'yyyy-MM-dd')")           # literals like 'T' in the pattern
 
 
 def norm_none(c: str, dialect: str) -> str:

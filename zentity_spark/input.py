@@ -16,19 +16,15 @@ import re
 
 from zentity_spark import dialect as D
 
-_JAVA2PY = [("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
-            ("HH", "%H"), ("mm", "%M"), ("ss", "%S")]
-
 _NUM_RE = re.compile(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
 
 
 def _is_date(s: str, fmt: str) -> bool:
     from datetime import datetime
-    py = fmt
-    for j, p in _JAVA2PY:
-        py = py.replace(j, p)
+    if fmt in D.EPOCH_DATE_FORMATS:
+        return bool(re.match(r"^-?\d+$", s))
     try:
-        datetime.strptime(s, py)
+        datetime.strptime(s, D.java_date_fmt_to_py(fmt))
         return True
     except ValueError:
         return False

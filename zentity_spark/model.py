@@ -28,6 +28,8 @@ import json
 import re
 from dataclasses import dataclass, field
 
+from zentity_spark import dialect
+
 VALID_ATTRIBUTE_TYPES = ("string", "number", "boolean", "date")
 
 MATCHER_KINDS = (
@@ -99,6 +101,14 @@ class Attribute:
         score = _validate_quality(spec.get("score"), f"attribute '{name}'.score")
         params = spec.get("params", {})
         _require(isinstance(params, dict), f"attribute '{name}'.params must be an object")
+        if typ == "date":
+            fmt = params.get("format", "yyyy-MM-dd")
+            _require(isinstance(fmt, str),
+                     f"attribute '{name}'.params.format must be a string")
+            try:
+                dialect.validate_date_format(fmt)
+            except ValueError as e:
+                _require(False, f"attribute '{name}': {e}")
         return Attribute(name=name, type=typ, score=score, params=dict(params))
 
 
