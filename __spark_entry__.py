@@ -508,8 +508,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id_a, doc_id_b, resolver FROM pairs_x",
             upto="pairs_x"),
         "er2_explanations": _oracle2_stage(
-            "SELECT doc_id_a, doc_id_b, resolver, attr, field, matcher, s "
-            "FROM explain_x", upto="explain_x"),
+            "SELECT doc_id_a, doc_id_b, resolver, attr, field, matcher, "
+            "s_a, s_b FROM explain_x", upto="explain_x"),
         "er2_seeded_hops": _oracle2_seeded(),
         "er2_match_edges": _oracle2_stage(
             "SELECT doc_id_a, doc_id_b, resolver FROM match_edges_x"),
@@ -519,8 +519,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id_a, doc_id_b, score FROM pair_scores_x",
             upto="pair_scores_x"),
         "er_explanations": _oracle_stage(
-            "SELECT doc_id_a, doc_id_b, resolver, attr, field, matcher, s "
-            "FROM explain_x", upto="explain_x"),
+            "SELECT doc_id_a, doc_id_b, resolver, attr, field, matcher, "
+            "s_a, s_b FROM explain_x", upto="explain_x"),
         "er_pair_scores": _oracle_stage(
             "SELECT doc_id_a, doc_id_b, score FROM pair_scores_x",
             upto="pair_scores_x"),

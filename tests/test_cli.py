@@ -32,7 +32,7 @@ def test_resolve_and_seeded(tmp_path, sf0001_dir):
                 "--exclude-resolver", "r_name_city_weak")
     assert out1.returncode == 0, out1.stderr[-2000:]
     res1 = json.loads(out1.stdout.splitlines()[-1])
-    assert res1["rows"] == 593
+    assert res1["rows"] == 612     # = doc count of the sf0.001 fixture
 
     out2 = _run("seeded", "--docs", docs, "--model", model,
                 "--output", str(tmp_path / "hits"),

@@ -153,3 +153,51 @@ def test_missing_attr_score_contributes_nothing(spark):
     rows = job.pair_scores().collect()
     assert len(rows) == 1
     assert rows[0]["score"] == 0.5
+
+
+# --- per-index score granularity (VERDICT r2 "what's missing" #2): two
+# sources declaring the SAME (field, matcher) binding at DIFFERENT
+# qualities — each side of a pair is scored with its own source's quality
+
+def test_per_source_quality_applied(spark):
+    import json
+    from zentity_spark.model import Model
+    spec = {
+        "attributes": {"who": {"type": "string", "score": 0.8,
+                               "params": {"normalizer": "name"}}},
+        "resolvers": {"r_who": {"attributes": ["who"]}},
+        "matchers": {"exact": {"clause": {"term": {"{{ field }}": "{{ value }}"}},
+                               "quality": 1.0}},
+        "indices": {
+            "a": {"fields": {"who_name": {"attribute": "who",
+                                          "matcher": "exact",
+                                          "quality": 1.0}}},
+            "b": {"fields": {"who_name": {"attribute": "who",
+                                          "matcher": "exact",
+                                          "quality": 0.5}}},
+        },
+    }
+    m = Model.parse(json.dumps(spec))
+    docs = make_docs(spark, [
+        ("a-000001", [("who_name", "rhea voss")]),
+        ("b-000001", [("who_name", "rhea voss")]),
+    ])
+    job = ResolutionJob(spark, docs, m)
+    ex = job.explanations().collect()
+    assert len(ex) == 1
+    row = ex[0]
+    # s = 0.5 + (0.8 - 0.5) * q_matcher * q_field, per SIDE
+    assert row["s_a"] == pytest.approx(0.5 + 0.3 * 1.0 * 1.0)   # source a
+    assert row["s_b"] == pytest.approx(0.5 + 0.3 * 1.0 * 0.5)   # source b
+    # doc scores: each doc conflates ITS OWN side's evidence
+    ds = {r["doc_id"]: r["score"] for r in job.doc_scores().collect()}
+    assert ds["a-000001"] == pytest.approx(0.8)
+    assert ds["b-000001"] == pytest.approx(0.65)
+    # pair score: best evidence across the two directions
+    ps = job.pair_scores().collect()
+    assert len(ps) == 1 and ps[0]["score"] == pytest.approx(0.8)
+    # response explanation structs carry the per-source s
+    structs = {r["doc_id"]: r["explanation"]
+               for r in job.explanation_structs().collect()}
+    assert structs["a-000001"][0]["s"] == pytest.approx(0.8)
+    assert structs["b-000001"][0]["s"] == pytest.approx(0.65)

@@ -309,18 +309,23 @@ class ResolutionJob:
             upto="match_edges_x")
 
     def explanations(self) -> DataFrame:
-        """exploded match lineage (pair, resolver, attribute, matcher, s) —
-        ≙ the `_explanation` matches array (SURVEY row 32)."""
+        """exploded match lineage (pair, resolver, attribute, matcher,
+        s_a, s_b) — ≙ the `_explanation` matches array (SURVEY row 32);
+        s_a/s_b are the identity scores with each side's own source's
+        declared field quality (per-index granularity)."""
+        self.materialize()
         return self.stage(
-            "SELECT doc_id_a, doc_id_b, resolver, attr, field, matcher, s "
-            "FROM explain_x", upto="explain_x")
+            "SELECT doc_id_a, doc_id_b, resolver, attr, field, matcher, "
+            "s_a, s_b FROM explain_x", upto="explain_x")
 
     def pair_scores(self) -> DataFrame:
+        self.materialize()
         return self.stage(
             "SELECT doc_id_a, doc_id_b, score FROM pair_scores_x",
             upto="pair_scores_x")
 
     def doc_scores(self) -> DataFrame:
+        self.materialize()
         return self.stage(
             "SELECT doc_id, score FROM doc_scores_x", upto="doc_scores_x")
 
@@ -332,10 +337,10 @@ class ResolutionJob:
         ex = self.explanations()
         both = ex.selectExpr(
             "doc_id_a AS doc_id", "doc_id_b AS other_doc",
-            "resolver", "attr", "field", "matcher", "s",
+            "resolver", "attr", "field", "matcher", "s_a AS s",
         ).unionByName(ex.selectExpr(
             "doc_id_b AS doc_id", "doc_id_a AS other_doc",
-            "resolver", "attr", "field", "matcher", "s"))
+            "resolver", "attr", "field", "matcher", "s_b AS s"))
         if doc_ids is not None:
             both = both.join(F.broadcast(doc_ids.select("doc_id")),
                              "doc_id", "semi")
@@ -367,9 +372,13 @@ class ResolutionJob:
         from zentity_spark.input import build_probe
         probe, in_params = build_probe(self.spark, self.plan, attributes, terms)
         extra = self.plan.seed_ctes(probe, D.SPARK, input_params=in_params)
+        # materialized-stage substitution keeps the rendered plan small —
+        # without it the full keys/vals derivation SQL inlines per CTE
+        # reference and Catalyst analysis dominates the seeded query
+        self.materialize()
         df = self.spark.sql(self.plan.sql(
             D.SPARK, self._view, "SELECT doc_id FROM seed_docs_x",
-            extra=extra))
+            extra=extra, replace=dict(self._replace)))
         # localCheckpoint: truncate the union-heavy seed plan NOW — letting
         # it flow into the label-propagation loop trips a Spark 4 constraint
         # rewrite bug (UnionBase.rewriteConstraints NoSuchElementException)
@@ -428,8 +437,8 @@ class ResolutionJob:
         pivot/groupBy — the full-corpus ``doc_scores()`` stays for the batch
         mode)."""
         ex = self.explanations()
-        both = ex.selectExpr("doc_id_a AS doc_id", "attr", "s").unionByName(
-            ex.selectExpr("doc_id_b AS doc_id", "attr", "s"))
+        both = ex.selectExpr("doc_id_a AS doc_id", "attr", "s_a AS s").unionByName(
+            ex.selectExpr("doc_id_b AS doc_id", "attr", "s_b AS s"))
         both = both.join(F.broadcast(doc_ids.select("doc_id")),
                          "doc_id", "semi")
         attrs = self.plan.scored_attrs()

@@ -211,10 +211,11 @@ class CompiledPlan:
         """[(span_field, matcher_name, Matcher, field_quality)] — the
         distinct (field → matcher) bindings mapped to attr across active
         sources (``model/IndexField.java`` bindings; multi-fields like
-        ``full_name.phonetic`` scope to their base span field).  Quality is
-        the max across sources declaring the same binding (the reference
-        scores per (attr, matcher, index, field); we collapse the index
-        dimension — documented granularity choice)."""
+        ``full_name.phonetic`` scope to their base span field).  The quality
+        here is the max across sources declaring the same binding and feeds
+        only the structural machinery (keys, flags); SCORING applies each
+        doc's own source's quality via ``binding_qualities`` (the
+        reference's per-(attr, matcher, index, field) granularity)."""
         if not self.scope.attribute_active(attr):
             return []
         best: dict = {}
@@ -232,6 +233,23 @@ class CompiledPlan:
                  self.effective_matcher(self.model.matchers[mn], attr),
                  best[(fld, mn)])
                 for fld, mn in sorted(best)]
+
+    def binding_qualities(self, attr: str, fld: str, mname: str) -> dict:
+        """{source: field quality} for one (field, matcher) binding across
+        the active sources declaring it — the reference's per-index score
+        granularity (``Job.java::calculateAttributeIdentityConfidenceScore``
+        ≈L100-150 keys its memo on (attr, matcher, index, field))."""
+        out: dict = {}
+        for src, ix in self.model.indices.items():
+            if not self.scope.source_active(src):
+                continue
+            for f in ix.fields:
+                if (f.attribute == attr and f.matcher == mname
+                        and f.span_field == fld):
+                    q = f.quality if f.quality is not None else 1.0
+                    if src not in out or q > out[src]:
+                        out[src] = q
+        return out
 
     def attr_fields(self, attr: str):
         """sorted distinct span fields bound (with a matcher) to attr."""
@@ -855,30 +873,61 @@ class CompiledPlan:
         """sorted attribute names referenced by any active resolver."""
         return sorted({a for r in self.active_resolvers() for a in r.attributes})
 
+    def _source_expr(self, col: str, dialect: str) -> str:
+        """doc source = the doc_id prefix before '-' (FIXTURES.md §1)."""
+        if dialect == D.DUCKDB:
+            return f"substr({col}, 1, position('-' IN {col}) - 1)"
+        return f"substr({col}, 1, instr({col}, '-') - 1)"
+
+    def _s_side_sql(self, attr: str, mname: str, fld: str, col: str,
+                    dialect: str) -> str:
+        """identity score of one pair SIDE for one binding, applying THAT
+        doc's source's declared field quality (per-index granularity).  A
+        source not declaring the binding — reachable only through the
+        symmetrized full-value-list direction of ``binding_flag`` — falls
+        back to the max quality across declaring sources.  Compiles to a
+        literal when every source scores the same."""
+        qmap = self.binding_qualities(attr, fld, mname)
+        smap = {src: self.identity_score(attr, mname, q)
+                for src, q in qmap.items()}
+        if not smap or all(v is None for v in smap.values()):
+            return "CAST(NULL AS DOUBLE)"
+        # CAST, not a bare literal: Spark parses bare decimals as
+        # DECIMAL(p,s) and the conflation would run in decimal math
+        default = self.identity_score(attr, mname, max(qmap.values()))
+        if all(v == default for v in smap.values()):
+            return f"CAST({default!r} AS DOUBLE)"
+        branches = " ".join(
+            f"WHEN {self._source_expr(col, dialect)} = {_q(src)} "
+            f"THEN CAST({s!r} AS DOUBLE)"
+            for src, s in sorted(smap.items()) if s != default)
+        return f"CASE {branches} ELSE CAST({default!r} AS DOUBLE) END"
+
     def sql_explain(self, dialect: str) -> str:
         """exploded lineage rows (≙ `_explanation` matches array, Job.java
         explanation block ≈L1050-1200): one row per (pair, resolver,
         attribute, target field, matcher) binding that matched, with the
-        identity score s (≙ the reference's per-match `target_field` /
-        `input_matcher` entries)."""
+        identity score PER SIDE (s_a / s_b) — each side scored with its own
+        source's declared field quality, the reference's per-index
+        granularity (≙ per-hit `target_field` / `input_matcher` entries
+        scored against the hit's index)."""
         parts = []
         for r in self.active_resolvers():
             for i, a in enumerate(r.attributes):
-                for j, (fld, mname, _m, fq) in enumerate(self.attr_bindings(a)):
-                    s = self.identity_score(a, mname, fq)
-                    # CAST, not a bare literal: Spark parses bare decimals as
-                    # DECIMAL(p,s) and the conflation would run in decimal math
-                    s_sql = ("CAST(NULL AS DOUBLE)" if s is None
-                             else f"CAST({s!r} AS DOUBLE)")
+                for j, (fld, mname, _m, _fq) in enumerate(self.attr_bindings(a)):
+                    sa = self._s_side_sql(a, mname, fld, "doc_id_a", dialect)
+                    sb = self._s_side_sql(a, mname, fld, "doc_id_b", dialect)
                     parts.append(
                         f"SELECT doc_id_a, doc_id_b, {_q(r.name)} AS resolver, "
                         f"{_q(a)} AS attr, {_q(fld)} AS field, "
                         f"{_q(mname)} AS matcher, "
-                        f"{s_sql} AS s FROM edges_{r.name} WHERE f_{i}_{j}")
+                        f"{sa} AS s_a, {sb} AS s_b "
+                        f"FROM edges_{r.name} WHERE f_{i}_{j}")
         if not parts:
             return ("SELECT '' AS doc_id_a, '' AS doc_id_b, '' AS resolver, "
                     "'' AS attr, '' AS field, '' AS matcher, "
-                    "CAST(NULL AS DOUBLE) AS s WHERE 1=0")
+                    "CAST(NULL AS DOUBLE) AS s_a, "
+                    "CAST(NULL AS DOUBLE) AS s_b WHERE 1=0")
         return " UNION ALL ".join(parts)
 
     def _conflation(self, s_cols: list) -> str:
@@ -891,12 +940,15 @@ class CompiledPlan:
         return f"(({num}) / (({num}) + ({den})))"
 
     def sql_pair_scores(self, dialect: str) -> str:
-        """per matched pair: best s per attribute (max over matched matchers,
-        ≙ the reference scoring the attribute by its best-quality matched
-        matcher), conflated across attributes."""
+        """per matched pair: best s per attribute (max over matched matchers
+        AND over the two sides' per-source scores — the pair carries the
+        best evidence either direction produced), conflated across
+        attributes.  s_a/s_b are NULL together (NULL ⇔ the attribute has no
+        score), so the comparison needs no coalesce."""
         attrs = self.scored_attrs()
+        s = "CASE WHEN s_a >= s_b THEN s_a ELSE s_b END"
         pivots = [
-            f"max(CASE WHEN attr = {_q(a)} THEN s END) AS s_{i}"
+            f"max(CASE WHEN attr = {_q(a)} THEN {s} END) AS s_{i}"
             for i, a in enumerate(attrs)]
         conf = self._conflation([f"s_{i}" for i in range(len(attrs))])
         return (
@@ -908,7 +960,8 @@ class CompiledPlan:
     def sql_doc_scores(self, dialect: str) -> str:
         """per doc: conflation over its best per-attribute evidence across
         all of its match edges (both directions) — the batch analog of the
-        reference's per-hit ``_score``."""
+        reference's per-hit ``_score``.  Each side contributes ITS OWN
+        per-source score (s_a for the a side, s_b for the b side)."""
         attrs = self.scored_attrs()
         pivots = [
             f"max(CASE WHEN attr = {_q(a)} THEN s END) AS s_{i}"
@@ -917,8 +970,8 @@ class CompiledPlan:
         return (
             f"SELECT doc_id, {conf} AS score FROM ("
             f"SELECT doc_id, {', '.join(pivots)} FROM ("
-            "SELECT doc_id_a AS doc_id, attr, s FROM explain_x "
-            "UNION ALL SELECT doc_id_b AS doc_id, attr, s FROM explain_x"
+            "SELECT doc_id_a AS doc_id, attr, s_a AS s FROM explain_x "
+            "UNION ALL SELECT doc_id_b AS doc_id, attr, s_b AS s FROM explain_x"
             f") GROUP BY doc_id)"
         )
 
