@@ -1,0 +1,254 @@
+"""Incremental entity resolution: fold document increments into an
+existing resolution WITHOUT recomputing old×old candidate pairs.
+
+The reference resolves per REQUEST (``resolution/Job.java`` hop loop) and
+has no batch-increment notion; at 10^12-doc scale a corpus can never
+re-resolve from scratch on every arrival, so this is the additive scale
+path the streaming ingest module (streaming/ingest.py) was designed to
+feed.  Correctness contract (tested in tests/test_incremental.py):
+
+    bootstrap(D); add(Δ1); …; add(Δk)   ==   batch resolve(D ∪ Δ1 ∪ … ∪ Δk)
+
+exactly (same labels), provided no composite block exceeds ``block_cap``
+— the per-block cap trims blocks in doc_id order over whatever corpus the
+job sees, so a capped hot block may admit different survivors
+incrementally than in one batch (the cap is an approximation in the
+reference too: ``max_docs_per_query``).
+
+Why increments are cheap:
+  * every pre-pair stage (attrs/keys/vals/vals_wide/composite keys) is
+    PER-DOCUMENT — stage(D ∪ Δ) = stage(D) ∪ stage(Δ) — so the state dir
+    just appends the Δ rows to each stage's parquet;
+  * Δ candidate pairs probe the combined key table with only the new
+    docs' composite keys (compiler.sql_pairs_delta), broadcast when the
+    increment is small: no shuffle of the old keys, no old×old join;
+  * verification reuses the compiled match_edges plan with ``pairs_x``
+    redirected at the Δ pair relation;
+  * only components TOUCHED by a Δ edge re-cluster: old labels restricted
+    to touched entities re-enter connected components as star edges
+    (label forest ≡ old connectivity), untouched labels pass through
+    byte-identical.
+
+State layout under ``state_dir``:
+    docs/          ingested documents (append per increment)
+    attrs_x/ keys_x/ vals_x/ vals_wide_x/ ck_<resolver>/
+                   per-doc stage parquet (append per increment)
+    edges/         verified match edges (append; full edge log ⇒ the
+                   labels can always be rebuilt from scratch)
+    labels_<n>/    current labels (versioned; CURRENT points at the live one)
+    CURRENT        json pointer {"labels": path, "n_batches": k}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from zentity_spark import dialect as D
+from zentity_spark.model import Model
+from zentity_spark.operators.cluster import connected_components_by_hash
+from zentity_spark.pipeline import DEFAULT_SCOPE, ResolutionJob
+from zentity_spark.plans.compiler import Scope
+
+# per-document stages whose union across increments equals the batch stage
+PER_DOC_STAGES = ("attrs_x", "keys_x", "vals_x", "vals_wide_x")
+
+# Δ doc count at or below which the Δ key side of the pair probe is
+# broadcast (mirrors cluster._FRONTIER_BROADCAST_MAX reasoning: a small
+# increment must not reshuffle the big side)
+_BROADCAST_DELTA_MAX = 1_000_000
+
+
+class IncrementalResolver:
+    """Stateful incremental resolution over a model (SURVEY §3 operators,
+    re-expressed as a fold).  Not thread-safe; one writer per state_dir."""
+
+    def __init__(self, spark: SparkSession, model: Model, state_dir: str,
+                 scope: Scope | None = None, block_cap: int = 1000):
+        self.spark = spark
+        self.model = model
+        self.scope = scope if scope is not None else DEFAULT_SCOPE
+        self.block_cap = block_cap
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+        self._ptr = os.path.join(state_dir, "CURRENT")
+        # observability for tests/operators: executed plan of the last Δ
+        # pair job (asserts the broadcast), last Δ edge count
+        self.last_pairs_plan: str | None = None
+        self.last_delta_edges: int = 0
+
+    # ---------- state helpers ----------
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.state_dir, stage)
+
+    def _scan(self, stage: str) -> str:
+        return f"parquet.`{self._path(stage)}`"
+
+    def _current(self) -> dict | None:
+        if not os.path.exists(self._ptr):
+            return None
+        with open(self._ptr) as f:
+            return json.load(f)
+
+    def _ck_stages(self, job: ResolutionJob) -> list:
+        return [f"ck_{r.name}" for r in job.plan.active_resolvers()]
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("docs"))
+
+    def labels(self) -> DataFrame:
+        """current (doc_id, entity_id) for edge-bearing docs (singletons are
+        implicit, as in ResolutionJob.clusters)."""
+        cur = self._current()
+        if cur is None:
+            raise ValueError("no increments folded yet")
+        return self.spark.read.parquet(cur["labels"])
+
+    def clusters(self) -> DataFrame:
+        """(doc_id, entity_id, spans) for every ingested doc — singletons
+        labeled by their own doc_id; spans pass through untouched."""
+        docs = self.docs()
+        return (docs.join(self.labels(), "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("entity_id", "doc_id").alias("entity_id"),
+                        "spans"))
+
+    # ---------- the fold ----------
+
+    def add(self, new_docs: DataFrame) -> DataFrame:
+        """fold one increment; returns the updated labels DataFrame.
+
+        Contract: doc_ids globally unique across increments (the streaming
+        ingest dedups on doc_id before the sink)."""
+        spark = self.spark
+        cur = self._current()
+        new_docs = new_docs.select("doc_id", "spans")
+        new_docs.write.mode("append").parquet(self._path("docs"))
+        # re-read from the state parquet: one scan source for every
+        # downstream use (and the input plan may be a one-shot stream batch)
+        if cur is None:
+            return self._bootstrap(spark.read.parquet(self._path("docs")))
+        return self._fold_delta()
+
+    def _write_stage_rows(self, job: ResolutionJob) -> None:
+        """append the increment's per-doc stage rows + composite keys into
+        the state dirs (job is over the Δ docs ONLY; its stages ARE the
+        Δ rows of the combined stages)."""
+        job.materialize()  # Δ-local: attrs/keys/vals_wide (+ ck if skewed)
+        for st in PER_DOC_STAGES:
+            job.stage(f"SELECT * FROM {st}", upto=st) \
+                .write.mode("append").parquet(self._path(st))
+        for st in self._ck_stages(job):
+            job.stage(f"SELECT doc_id, ckey FROM {st}", upto=st) \
+                .write.mode("append").parquet(self._path(st))
+
+    def _bootstrap(self, docs: DataFrame) -> DataFrame:
+        """first increment = the full batch path (keeps the batch plan's
+        skew salting for the one genuinely large job), stages persisted
+        into the state dirs for later increments to union against."""
+        job = ResolutionJob(self.spark, docs, self.model, self.scope,
+                            self.block_cap)
+        self._write_stage_rows(job)
+        edges = job.match_edges()
+        edges.write.mode("append").parquet(self._path("edges"))
+        job.unpersist()
+        edges = self.spark.read.parquet(self._path("edges"))
+        labels = connected_components_by_hash(
+            edges.select("doc_id_a", "doc_id_b"))
+        return self._commit(labels)
+
+    def _fold_delta(self) -> DataFrame:
+        spark = self.spark
+        cur = self._current()
+        docs_all = self.docs()
+        # Δ = docs not yet labeled AND not singleton at the last fold:
+        # cheaper and exact — docs whose stage rows aren't in the state yet,
+        # i.e. everything in docs/ minus what attrs/keys saw.  doc_ids are
+        # unique, so "new" = docs_all ∖ docs seen at the previous fold;
+        # track via the per-stage row origin: keys_x holds every previously
+        # folded doc that produced a key, but attribute-less docs produce
+        # none, so persist the seen-id set explicitly instead.
+        seen = spark.read.parquet(self._path("seen_ids")) \
+            if os.path.exists(self._path("seen_ids")) else None
+        new_docs = (docs_all.join(seen, "doc_id", "left_anti")
+                    if seen is not None else docs_all)
+
+        # 1. Δ per-doc stage rows appended
+        dj = ResolutionJob(spark, new_docs, self.model, self.scope,
+                           self.block_cap)
+        self._write_stage_rows(dj)
+        dj.unpersist()
+
+        # 2. combined-corpus job with every per-doc stage redirected at the
+        # state parquet — nothing per-doc recomputes for old docs
+        job = ResolutionJob(spark, docs_all, self.model, self.scope,
+                            self.block_cap)
+        for st in PER_DOC_STAGES + tuple(self._ck_stages(job)):
+            job._replace[st] = self._scan(st)
+        job._compute_skew_policy()
+
+        # 3. Δ candidate pairs: probe combined keys with the new ids only
+        n_new = new_docs.count()
+        v_new = f"{job._view}_newids"
+        new_docs.select("doc_id").createOrReplaceTempView(v_new)
+        bcast = n_new <= _BROADCAST_DELTA_MAX
+        plan = job.plan
+        delta_select = " UNION ALL ".join(
+            plan.sql_pairs_delta(r, D.SPARK, v_new, broadcast_new=bcast)
+            for r in plan.active_resolvers())
+        pairs = spark.sql(plan.sql(
+            D.SPARK, job._view, delta_select,
+            upto=plan.last_key_cte(D.SPARK), replace=dict(job._replace)))
+        v_pairs = f"{job._view}_dpairs"
+        pairs.localCheckpoint().createOrReplaceTempView(v_pairs)
+        self.last_pairs_plan = \
+            pairs._jdf.queryExecution().executedPlan().toString()
+        job._replace["pairs_x"] = v_pairs
+
+        # 4. verify ONLY the Δ pairs through the compiled edge plan
+        d_edges = job.stage(
+            "SELECT doc_id_a, doc_id_b, resolver FROM match_edges_x",
+            upto="match_edges_x")
+        d_edges.write.mode("append").parquet(self._path("edges"))
+        d_edges = d_edges.localCheckpoint()
+        self.last_delta_edges = d_edges.count()
+
+        # 5. merge: re-cluster touched components only
+        old = spark.read.parquet(cur["labels"])
+        d_nodes = (d_edges.select(F.col("doc_id_a").alias("doc_id"))
+                   .union(d_edges.select("doc_id_b")).distinct())
+        touched = (old.join(F.broadcast(d_nodes), "doc_id", "semi")
+                   .select("entity_id").distinct().localCheckpoint())
+        untouched = old.join(F.broadcast(touched), "entity_id", "left_anti")
+        star = (old.join(F.broadcast(touched), "entity_id", "semi")
+                .where(F.col("doc_id") != F.col("entity_id"))
+                .select(F.col("doc_id").alias("doc_id_a"),
+                        F.col("entity_id").alias("doc_id_b")))
+        relabeled = connected_components_by_hash(
+            star.union(d_edges.select("doc_id_a", "doc_id_b")))
+        labels = untouched.unionByName(relabeled)
+        job.unpersist()
+        return self._commit(labels)
+
+    def _commit(self, labels: DataFrame) -> DataFrame:
+        cur = self._current()
+        n = (cur["n_batches"] + 1) if cur else 1
+        path = self._path(f"labels_{n}")
+        labels.select("doc_id", "entity_id") \
+            .write.mode("overwrite").parquet(path)
+        # the seen-id set makes the NEXT fold's Δ detection exact even for
+        # docs that produce no attributes/keys
+        self.docs().select("doc_id") \
+            .write.mode("overwrite").parquet(self._path("seen_ids_next"))
+        seen_dir = self._path("seen_ids")
+        shutil.rmtree(seen_dir, ignore_errors=True)
+        os.rename(self._path("seen_ids_next"), seen_dir)
+        with open(self._ptr, "w") as f:
+            json.dump({"labels": path, "n_batches": n}, f)
+        if cur:
+            shutil.rmtree(cur["labels"], ignore_errors=True)
+        return self.spark.read.parquet(path)

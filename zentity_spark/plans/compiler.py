@@ -598,6 +598,37 @@ class CompiledPlan:
                     "'' AS resolver WHERE 1=0")
         return " UNION ALL ".join(parts)
 
+    def sql_pairs_delta(self, r, dialect: str, new_rel: str,
+                        broadcast_new: bool = True) -> str:
+        """Δ pair stream for one resolver: candidate pairs with at least one
+        side in ``new_rel`` (any relation with a ``doc_id`` column) — the
+        incremental-resolution path (operators/incremental.py).  Old×old
+        blocks are never re-joined: the combined composite-key table is
+        probed with ONLY the new docs' keys, so an increment costs
+        O(|Δ| · block) instead of O(|D∪Δ|²).  Reads ``ck_{r}_capped`` when
+        the resolver's skew policy keeps the per-block cap (same cap
+        semantics as the batch plan), the raw ck otherwise.  The Δ side is
+        broadcast when the caller knows it is small — one hash-join probe
+        over the (large) key table, no shuffle of old keys."""
+        ck = (f"ck_{r.name}_capped" if self.resolver_needs_skew(r)
+              else f"ck_{r.name}")
+        hint = "/*+ BROADCAST(a) */ " if broadcast_new else ""
+        return (
+            f"SELECT {hint}DISTINCT least(a.doc_id, b.doc_id) AS doc_id_a, "
+            "greatest(a.doc_id, b.doc_id) AS doc_id_b, "
+            f"{_q(r.name)} AS resolver "
+            f"FROM (SELECT c.doc_id, c.ckey FROM {ck} c "
+            f"JOIN {new_rel} n ON n.doc_id = c.doc_id) a "
+            f"JOIN {ck} b ON a.ckey = b.ckey AND a.doc_id <> b.doc_id"
+        )
+
+    def last_key_cte(self, dialect: str) -> str:
+        """name of the last composite-key CTE in the chain — the ``upto``
+        for rendering Δ pair SQL without dragging pairs_x/edges into the
+        analyzed plan."""
+        names = [n for n, _ in self.ctes(dialect, "__docs__")]
+        return names[names.index("pairs_x") - 1]
+
     # ---------- verification predicates ----------
     # (the per-matcher comparisons live in _derive/_cmp above — analyzer
     # work precomputed per doc, set-kinds as native overlap; the jaro_winkler
