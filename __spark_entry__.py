@@ -126,6 +126,23 @@ def _q_cluster_sizes(spark, sf_dir):
             .where(F.col("n_docs") > 1))
 
 
+def _q_increment_clusters(spark, sf_dir):
+    """incremental resolution (operators/incremental.py): bootstrap on a
+    deterministic 80% slice, fold the remaining 20% in — the fold contract
+    says the result equals the batch run, so the oracle is the SAME DuckDB
+    recursive-CTE clustering as er_clusters.  This pins the Δ-pair probe,
+    Δ-only verification, and touched-component re-clustering end to end."""
+    import tempfile
+    corpus = corpus_dir_for_sf_dir(sf_dir)
+    docs = spark.read.parquet(os.path.join(corpus, "docs_spans.parquet"))
+    from zentity_spark.operators.incremental import IncrementalResolver
+    state = tempfile.mkdtemp(prefix="inc_", dir=_stage_cache_base())
+    r = IncrementalResolver(spark, _model(), state)
+    r.add(docs.where("pmod(xxhash64(doc_id), 5) < 4"))
+    r.add(docs.where("pmod(xxhash64(doc_id), 5) >= 4"))
+    return r.clusters().select("doc_id", "entity_id")
+
+
 def _hopq(out):
     return out.select("doc_id", F.col("hop").cast("int").alias("hop"),
                       F.col("q").cast("int").alias("q"))
@@ -457,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_match_edges": _q_edges,
         "er_clusters": _q_clusters,
         "er_cluster_sizes": _q_cluster_sizes,
+        "er_increment_clusters": _q_increment_clusters,
         "er_seeded_hops": _q_seeded,
         "er_media_spans": _q_media,
         "er_input_seeded": _q_input_seeded,
@@ -493,6 +511,9 @@ def oracle_sql() -> dict[str, str]:
         "er_cluster_sizes": _oracle_clusters(
             "SELECT entity_id, CAST(count(*) AS BIGINT) AS n_docs FROM labels "
             "GROUP BY entity_id HAVING count(*) > 1"),
+        # incremental fold == batch, so the batch clustering oracle applies
+        "er_increment_clusters": _oracle_clusters(
+            "SELECT doc_id, entity_id FROM labels"),
         "er_seeded_hops": _oracle_seeded(),
         "er_input_seeded": _oracle_input_seeded(),
         "er_terms_seeded": _oracle_terms_seeded(),
