@@ -208,14 +208,17 @@ def bounded_label_propagation(edges: DataFrame, seeds: DataFrame,
     if "q" not in edges.columns:
         edges = edges.withColumn("q", F.lit(0))
     # canonical undirected edges keeping the min stream ordinal per pair
+    # checkpoint the canonical aggregate BEFORE the flip union: the union's
+    # two branches would otherwise each execute the full upstream edge plan
+    # (Catalyst does not dedupe common subplans across union branches)
     e = (edges.select(
             F.least("doc_id_a", "doc_id_b").alias("u"),
             F.greatest("doc_id_a", "doc_id_b").alias("v"), "q")
          .where(F.col("u") != F.col("v"))
-         .groupBy("u", "v").agg(F.min("q").alias("q")))
-    nbr = (e.select("u", "v", "q")
-           .union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "q"))
-           .localCheckpoint())
+         .groupBy("u", "v").agg(F.min("q").alias("q"))
+         .localCheckpoint())
+    nbr = e.select("u", "v", "q").union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "q"))
     reached = (seeds.select("doc_id").distinct()
                .withColumn("hop", F.lit(0))
                .withColumn("q", F.lit(0)).localCheckpoint())

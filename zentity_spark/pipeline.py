@@ -354,7 +354,13 @@ class ResolutionJob:
         component become singletons (entity_id = own doc_id); spans pass
         through untouched (per-row span-sequence invariant)."""
         if edges is None:
-            edges = self.match_edges()
+            # checkpoint: connected_components_by_hash consumes the edge
+            # relation twice (hashed CC input + the nodes/label-restore
+            # join) — without this the whole pairs+verify plan executes
+            # twice per resolution (the dominant avoidable cost in the
+            # round-2 fixed-cost fit, BENCH/BASELINE.md)
+            edges = self.match_edges() \
+                .select("doc_id_a", "doc_id_b").localCheckpoint()
         labels = connected_components_by_hash(
             edges.select("doc_id_a", "doc_id_b"))
         return (
