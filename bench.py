@@ -24,6 +24,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_sample() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat — the sandbox is a VM
+    with an intermittently noisy co-tenant (observed steal bursts of up to
+    ~26% of total CPU); per-run steal%% makes polluted runs identifiable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = list(map(int, parts))
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except OSError:
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    if before is None or after is None:
+        return None
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / dt, 1) if dt > 0 else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -61,17 +81,23 @@ def main() -> None:
     # repeat=4 and drops run 0 — JIT is identical serial cost at any
     # parallelism and would mask scaling).
     repeat = int(os.environ.get("BENCH_REPEAT", "3"))
-    runs = []
+    runs, steals = [], []
     for _ in range(max(1, repeat)):
         job = ResolutionJob(spark, docs, model)
+        c0 = _cpu_sample()
         t0 = time.time()
         n_out = job.clusters().count()
         runs.append(round(time.time() - t0, 3))
+        steals.append(_steal_pct(c0, _cpu_sample()))
         job.unpersist()
         assert n_out == n_docs, f"output rows {n_out} != input docs {n_docs}"
     tail = runs[1:] if len(runs) > 1 else runs
     e2e = sorted(tail)[len(tail) // 2]
+    # best-of-tail: co-tenant CPU steal only ever ADDS wall time, so under
+    # a noisy host the minimum is the least-polluted estimate of the
+    # engine's true cost (median stays the headline for protocol parity)
     timings["e2e_resolution"] = e2e
+    timings["e2e_resolution_min"] = min(tail)
 
     if os.environ.get("BENCH_DIAG", "1") == "1":
         # per-stage diagnostics (each recomputes its full prefix —
@@ -93,6 +119,8 @@ def main() -> None:
         "value": round(e2e, 3),
         "unit": "sec",
         "runs": runs,
+        "value_min": min(tail),
+        "steal_pct": steals,
         "queries": timings,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "docs": n_docs,

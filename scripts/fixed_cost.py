@@ -54,11 +54,28 @@ def main() -> None:
         job.unpersist()
 
     t: dict[str, float] = {}
+    steal: dict[str, float] = {}
+    busy: dict[str, float] = {}
+
+    def _cpu():
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        # (steal, busy = user+nice+sys+irq+softirq, total)
+        busy_t = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
+        return vals[7], busy_t, sum(vals)
 
     def clk(name, fn):
+        c0 = _cpu()
         t0 = time.time()
         out = fn()
-        t[name] = round(time.time() - t0, 3)
+        wall = time.time() - t0
+        t[name] = round(wall, 3)
+        c1 = _cpu()
+        dt = c1[2] - c0[2]
+        steal[name] = round(100.0 * (c1[0] - c0[0]) / dt, 1) if dt else 0.0
+        # average busy CORES over the phase (ticks are 100 Hz, host-wide —
+        # nothing else runs, so this is the job's effective parallelism)
+        busy[name] = round((c1[1] - c0[1]) / 100.0 / wall, 1) if wall else 0.0
         return out
 
     t_all0 = time.time()
@@ -79,7 +96,11 @@ def main() -> None:
         upto="match_edges_x", replace=dict(job._replace))
     t["edges_sql_chars"] = len(sql_edges)
     edges = clk("edges_analyze", lambda: spark.sql(sql_edges))
-    clk("edges_exec", lambda: edges.write.mode("overwrite").format("noop").save())
+    # checkpoint ONCE, exactly like clusters() (pipeline.py): every
+    # downstream consumer scans the materialized partitions instead of
+    # re-executing the pairs+verify plan
+    edges = clk("edges_exec", lambda: edges
+                .select("doc_id_a", "doc_id_b").localCheckpoint())
 
     # --- clustering, decomposed ---
     from zentity_spark.operators import cluster as C
@@ -93,6 +114,7 @@ def main() -> None:
     cc.conf.set("spark.sql.adaptive.enabled", "false")
     e = C._rebind(e0, cc)
     prev, rounds = None, 0
+    c0r = _cpu()
     t0r = time.time()
     for _ in range(50):
         e = C._small_star(C._large_star(e)).localCheckpoint()
@@ -102,6 +124,11 @@ def main() -> None:
             break
         prev = cur
     t["cc_rounds"] = round(time.time() - t0r, 3)
+    c1r = _cpu()
+    steal["cc_rounds"] = round(
+        100.0 * (c1r[0] - c0r[0]) / max(c1r[2] - c0r[2], 1), 1)
+    busy["cc_rounds"] = round(
+        (c1r[1] - c0r[1]) / 100.0 / max(t["cc_rounds"], 1e-9), 1)
     t["cc_n_rounds"] = rounds
     e = C._rebind(e, spark)
 
@@ -129,7 +156,7 @@ def main() -> None:
 
     print(json.dumps({
         "cpus": args.cpus, "shuffle": shuffle, "docs": n_docs,
-        "edges": n_e, "phases": t}))
+        "edges": n_e, "phases": t, "steal_pct": steal, "busy_cores": busy}))
 
 
 if __name__ == "__main__":
