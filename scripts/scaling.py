@@ -48,11 +48,16 @@ def run_bench(sf_dir: str, cpus: int, shuffle: int, repeat: int) -> dict:
     # taskset pins the WHOLE JVM (GC/JIT/IO threads included) to N cores —
     # local[N] alone only caps task threads, leaking extra parallelism
     # into the small configuration and overstating scaling efficiency
-    out = subprocess.run(
+    p = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}",
          sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, check=True).stdout
-    line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        env=env, capture_output=True, text=True)
+    if p.returncode != 0:
+        # surface the bench failure instead of swallowing stderr (a 14-min
+        # sf1 run died opaque in round 3)
+        sys.stderr.write(p.stderr[-4000:] + "\n")
+        raise RuntimeError(f"bench.py exited {p.returncode} at local[{cpus}]")
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
 
