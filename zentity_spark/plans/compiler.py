@@ -350,10 +350,19 @@ class CompiledPlan:
             e1: del≤1(v) for len(v) ∈ [3, 6]     (covers k = 1 pairs: both
                  sides' ≤1-deletion neighborhoods intersect; k=1 pairs have
                  min len ∈ [3, 5] and |Δlen| ≤ 1 → both ends ≤ 6)
-            e2: del≤2(v) for len(v) ∈ [6, 10]    (covers k = 2 pairs with
-                 min len ∈ [6, 8]; |Δlen| ≤ 2 → both ends ≤ 10)
+            f2: 2-grams  for len(v) ∈ [6, 10]    (covers k = 2 pairs with
+                 min len ∈ [6, 8]; |Δlen| ≤ 2 → both ends ≤ 10; q-gram
+                 lemma: shared 2-grams ≥ (min_len − 1) − 2·2 ≥ 1 for
+                 min_len ≥ 6)
             f3: 3-grams  for len(v) ≥ 9          (k = 2 pairs with both ends
                  ≥ 9: q-gram lemma — shared grams ≥ min_len − 3 + 1 − 2·3 ≥ 1)
+          f2 replaced a del≤2 neighborhood branch (round 3): completeness
+          is identical by the lemma, but emission drops from C(len,2)+len+1
+          ≈ 45 keys/value to len−1 ≤ 9 — the del≤2 branch was 40% of ALL
+          key rows at sf0.1 and the prime suspect in the sf1 e2e slowdown
+          (BENCH/BASELINE.md round-4 lead).  Hotter gram keys are diluted
+          by the resolver's composite cross (fuzzy name never blocks alone
+          in the fixture models) and the cap/salt machinery.
           The reference's ES ``match``+``fuzziness`` expands query terms in
           the term index with an edit-distance automaton, i.e. its candidate
           recall is complete — this scheme is the batch equivalent
@@ -402,8 +411,8 @@ class CompiledPlan:
                 if fz in ("auto", ""):
                     branches.append(exploded("e1", banded(
                         D.del1_list(v, dialect), f"{L} BETWEEN 3 AND 6")))
-                    branches.append(exploded("e2", banded(
-                        D.del2_list(v, dialect), f"{L} BETWEEN 6 AND 10")))
+                    branches.append(exploded("f2", banded(
+                        D.char_ngrams(v, 2, dialect), f"{L} BETWEEN 6 AND 10")))
                     branches.append(exploded("f3", banded(
                         D.char_ngrams(v, 3, dialect), f"{L} >= 9")))
                 elif int(fz) == 1:
@@ -411,9 +420,11 @@ class CompiledPlan:
                 elif int(fz) == 2:
                     # len-1 values: del≤1 IS del≤2 (emitted into e2 space)
                     branches.append(exploded("e2", banded(
-                        D.del2_list(v, dialect), f"{L} BETWEEN 2 AND 10")))
+                        D.del2_list(v, dialect), f"{L} BETWEEN 2 AND 5")))
                     branches.append(exploded("e2", banded(
                         D.del1_list(v, dialect), f"{L} = 1")))
+                    branches.append(exploded("f2", banded(
+                        D.char_ngrams(v, 2, dialect), f"{L} BETWEEN 6 AND 10")))
                     branches.append(exploded("f3", banded(
                         D.char_ngrams(v, 3, dialect), f"{L} >= 9")))
                 elif int(fz) != 0:
