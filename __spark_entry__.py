@@ -64,7 +64,13 @@ def _stage_cache_base() -> str:
         import atexit
         import shutil
         import tempfile
-        _STAGE_CACHE_BASE = tempfile.mkdtemp(prefix="zentity_stage_cache_")
+        # under the safe scratch base, not /tmp (sandbox /tmp sweeper —
+        # see zentity_spark/session.py spark.local.dir note)
+        base = os.environ.get(
+            "ZENTITY_LOCAL_DIR", os.path.expanduser("~/.zentity_spark_local"))
+        os.makedirs(base, exist_ok=True)
+        _STAGE_CACHE_BASE = tempfile.mkdtemp(
+            prefix="zentity_stage_cache_", dir=base)
         atexit.register(shutil.rmtree, _STAGE_CACHE_BASE, ignore_errors=True)
     return _STAGE_CACHE_BASE
 

@@ -154,7 +154,13 @@ class ResolutionJob:
                     self._replace[st] = view
             return
         if self._ckpt_dir is None:
-            self._ckpt_dir = tempfile.mkdtemp(prefix="zentity_stage_")
+            # same safe-scratch base as spark.local.dir (session.py): the
+            # sandbox /tmp sweeper that killed blockmgr dirs would equally
+            # eat stage parquet mid-read on a long run
+            base = os.environ.get(
+                "ZENTITY_LOCAL_DIR", os.path.expanduser("~/.zentity_spark_local"))
+            os.makedirs(base, exist_ok=True)
+            self._ckpt_dir = tempfile.mkdtemp(prefix="zentity_stage_", dir=base)
             self._owns_ckpt_dir = True
         os.makedirs(self._ckpt_dir, exist_ok=True)
         self._check_fingerprint()

@@ -44,6 +44,14 @@ def get_spark(master: str | None = None, app: str = "zentity_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("ZENTITY_SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("ZENTITY_DRIVER_MEM", "8g"))
+        # shuffle/blockmgr scratch OUT of /tmp: this sandbox runs a /tmp
+        # sweeper that deleted live blockmgr-* dirs ~15+ min into long
+        # runs ("shuffle_N_M_0.index: No such file or directory", two sf1
+        # bench deaths).  Production analog: always point spark.local.dir
+        # at provisioned scratch volumes, never the OS tmp.
+        .config("spark.local.dir",
+                os.environ.get("ZENTITY_LOCAL_DIR",
+                               os.path.expanduser("~/.zentity_spark_local")))
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
