@@ -165,3 +165,34 @@ def test_fixed_fuzziness_recall(spark):
         got = {(r["doc_id_a"], r["doc_id_b"])
                for r in job.candidate_pairs().collect()}
         assert expected <= got, f"fz={fz}: missing {sorted(expected - got)[:5]}"
+
+
+def test_f2_band_boundaries_and_duplicate_grams(spark):
+    """adversarial pins for the round-3 f2 (2-gram) branch: the q-gram
+    lemma with SET semantics (char_ngrams dedups) holds because
+    set-disjointness destroys every POSITIONAL gram — each edit touches
+    at most q of them, so zero shared gram strings forces
+    lev > (len-1)/q = 2 at len >= 6.  These are the cases where that
+    argument is tightest: repeated-gram values, and pairs straddling the
+    e1/f2 (len 5/6) and f2/f3 (len 10/11) emission bands."""
+    cases = [
+        ("aaaaaa", "aaaaab"),        # dup grams: a emits only {aa}
+        ("aaaaaa", "aabaab"),        # dup grams, 2 interior subs
+        ("abcde", "zbcde"),          # len 5/5: k=1, e1 band only
+        ("abcdef", "zbcdef"),        # len 6/6 first-letter sub: f2 must pair
+        ("abcde", "abcdef"),         # 5 vs 6 cross e1-band pair (k=1 ins)
+        ("abcdefghi", "abcdefghijk"),  # 9 vs 11: min 9 -> k=2, f3 shared
+        ("abcdefgh", "abcdefghij"),    # 8 vs 10: f2 band both ends
+        ("abcdefghij", "zzcdefghij"),  # len 10/10: 2 subs at f2 upper edge
+    ]
+    values = sorted({v for pair in cases for v in pair})
+    job = ResolutionJob(spark, _docs(spark, values),
+                        _model_one_attr(FUZZY), scope=Scope())
+    ids = {v: f"a-{i:06d}" for i, v in enumerate(values)}
+    got = {(r["doc_id_a"], r["doc_id_b"])
+           for r in job.candidate_pairs().collect()}
+    for a, b in cases:
+        if not _lev_auto_match(a, b):
+            continue
+        pair = tuple(sorted((ids[a], ids[b])))
+        assert pair in got, f"blocking missed {a!r} vs {b!r}"
