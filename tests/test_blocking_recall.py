@@ -117,7 +117,11 @@ def test_fuzzy_blocking_recall_property(spark):
     rng = random.Random(20260817)
     bases = ["kim", "lee", "anna", "maria", "carton", "barton", "vasquez",
              "catherine", "montgomery", "john smith", "maria garcia lopez",
-             "ab", "xu", "harrington"]
+             "ab", "xu", "harrington",
+             # len-12+ values: exercise the round-4 f4/f5 gram bands and
+             # their seams with f3 (VERDICT r3 next #1)
+             "christopherson", "anastasia petrova", "constantinopolis",
+             "alexandra fitzgerald montague"]
     values = []
     for b in bases:
         values.append(b)
@@ -146,7 +150,14 @@ def test_fuzzy_blocking_recall_property(spark):
 
 
 def test_fixed_fuzziness_recall(spark):
-    """fixed fuzziness bands: k=1 (all lengths) and k=2 (del≤2 ∪ grams)."""
+    """fixed fuzziness bands: k=1 (all lengths) and k=2 (del≤2 ∪ grams).
+
+    The explicit straddle values pin ADVICE r3 (high): fz=2 pairs with
+    min len 4-5 vs max len 6-7 — e.g. 'abcde'/'abcdef' (lev 1) and
+    'abcd'/'abcdef' (lev 2) — must share e2 deletion keys; round 3's
+    del≤2 band [2,5] left them with zero shared key space (f2 grams
+    start at len 6)."""
+    straddle = {1: [], 2: ["abcd", "abcde", "abcdef", "abcdefg"]}
     for fz, k in (("1", 1), ("2", 2)):
         matcher = ('{"clause": {"match": {"{{ field }}": {"query": '
                    '"{{ value }}", "fuzziness": "{{ params.fuzziness }}"}}}, '
@@ -155,7 +166,7 @@ def test_fixed_fuzziness_recall(spark):
         bases = ["io", "ann", "olivia", "fernanda", "maximilian opal"]
         values = sorted({m for b in bases
                          for m in [b, _mutate(rng, b, 1), _mutate(rng, b, k)]
-                         if m})
+                         if m} | set(straddle[k]))
         job = ResolutionJob(spark, _docs(spark, values),
                             _model_one_attr(matcher), scope=Scope())
         ids = {v: f"a-{i:06d}" for i, v in enumerate(values)}
@@ -168,13 +179,14 @@ def test_fixed_fuzziness_recall(spark):
 
 
 def test_f2_band_boundaries_and_duplicate_grams(spark):
-    """adversarial pins for the round-3 f2 (2-gram) branch: the q-gram
-    lemma with SET semantics (char_ngrams dedups) holds because
+    """adversarial pins for the banded gram branches: the q-gram lemma
+    with SET semantics (char_ngrams dedups) holds because
     set-disjointness destroys every POSITIONAL gram — each edit touches
-    at most q of them, so zero shared gram strings forces
-    lev > (len-1)/q = 2 at len >= 6.  These are the cases where that
-    argument is tightest: repeated-gram values, and pairs straddling the
-    e1/f2 (len 5/6) and f2/f3 (len 10/11) emission bands."""
+    at most n of them, so zero shared gram strings forces
+    lev > (min_len-n+1)/n >= 3 > 2 at each band's lower edge.  These are
+    the cases where that argument is tightest: repeated-gram values, and
+    pairs straddling every emission-band seam — e1/f2 (len 5/6), f2/f3
+    (len 9-10), f3/f4 (len 12-13), f4/f5 (len 16-17)."""
     cases = [
         ("aaaaaa", "aaaaab"),        # dup grams: a emits only {aa}
         ("aaaaaa", "aabaab"),        # dup grams, 2 interior subs
@@ -184,6 +196,15 @@ def test_f2_band_boundaries_and_duplicate_grams(spark):
         ("abcdefghi", "abcdefghijk"),  # 9 vs 11: min 9 -> k=2, f3 shared
         ("abcdefgh", "abcdefghij"),    # 8 vs 10: f2 band both ends
         ("abcdefghij", "zzcdefghij"),  # len 10/10: 2 subs at f2 upper edge
+        # round-4 f3/f4/f5 seams (VERDICT r3 next #1)
+        ("abcdefghijk", "abcdefghijklm"),    # 11 vs 13: f3 band [9,13]
+        ("abcdefghijklm", "zzcdefghijklm"),  # 13/13 2 subs: f3 upper edge
+        ("abcdefghijkl", "abcdefghijklmn"),  # 12 vs 14: f4 band [12,17]
+        ("abcdefghijklmno", "abcdefghijklmnoqq"),  # 15 vs 17: f4 band
+        ("abcdefghijklmnop", "zzcdefghijklmnop"),  # 16/16 2 subs: f5 edge
+        ("abcdefghijklmnopqr", "abcdefghijklmnopqrtt"),  # 18 vs 20: f5 only
+        # dup-gram adversary at the f5 lower edge (emits few distinct grams)
+        ("aaaaaaaaaaaaaaaa", "aaaaaaaabaaaaaaab"),
     ]
     values = sorted({v for pair in cases for v in pair})
     job = ResolutionJob(spark, _docs(spark, values),

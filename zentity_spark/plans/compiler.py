@@ -56,6 +56,20 @@ DEFAULT_BLOCK_CAP = 1000  # ≙ max_docs_per_query (Job.java DEFAULT_MAX_DOCS_PE
 
 _PAIR_SEP = "§"
 
+# Length-scaled n-gram emission bands for the k=2 fuzzy branches:
+# (n, lo, hi) → emit n-grams OF THE SENTINEL-PADDED VALUE ('^'||v||'$')
+# for values with ORIGINAL length in [lo, hi] (hi=None → unbounded).
+# Padding runs the q-gram count filter at length m+2, buying one extra
+# gram char per band at identical emission volume: untouched padded grams
+# ≥ (m+2) − n + 1 − k·n ≥ 1 ⟺ m ≥ 3n − 2 at k = 2 (n=3 from len 7, n=4
+# from len 10, n=5 from len 13, n=6 from len 16), and end-grams become
+# boundary-anchored ('^jo', 'on$') — strictly more selective.
+# Invariants (proved in _key_branches' docstring, pinned by
+# test_blocking_recall): (1) every seam overlaps by ≥ 2 so a |Δlen| ≤ 2
+# pair always shares a band; (2) each band's lower edge lo ≥ 3n − 2 so
+# the padded count filter guarantees ≥ 1 shared gram at k = 2.
+_GRAM_BANDS = ((2, 6, 8), (3, 7, 11), (4, 10, 14), (5, 13, 17), (6, 16, None))
+
 
 @dataclass(frozen=True)
 class Scope:
@@ -350,19 +364,39 @@ class CompiledPlan:
             e1: del≤1(v) for len(v) ∈ [3, 6]     (covers k = 1 pairs: both
                  sides' ≤1-deletion neighborhoods intersect; k=1 pairs have
                  min len ∈ [3, 5] and |Δlen| ≤ 1 → both ends ≤ 6)
-            f2: 2-grams  for len(v) ∈ [6, 10]    (covers k = 2 pairs with
-                 min len ∈ [6, 8]; |Δlen| ≤ 2 → both ends ≤ 10; q-gram
-                 lemma: shared 2-grams ≥ (min_len − 1) − 2·2 ≥ 1 for
-                 min_len ≥ 6)
-            f3: 3-grams  for len(v) ≥ 9          (k = 2 pairs with both ends
-                 ≥ 9: q-gram lemma — shared grams ≥ min_len − 3 + 1 − 2·3 ≥ 1)
-          f2 replaced a del≤2 neighborhood branch (round 3): completeness
-          is identical by the lemma, but emission drops from C(len,2)+len+1
-          ≈ 45 keys/value to len−1 ≤ 9 — the del≤2 branch was 40% of ALL
-          key rows at sf0.1 and the prime suspect in the sf1 e2e slowdown
-          (BENCH/BASELINE.md round-4 lead).  Hotter gram keys are diluted
-          by the resolver's composite cross (fuzzy name never blocks alone
-          in the fixture models) and the cap/salt machinery.
+            fn: n-grams of the SENTINEL-PADDED value ('^'||v||'$') over
+                 LENGTH-SCALED bands (_GRAM_BANDS) — f2: len ∈ [6, 8],
+                 f3: len ∈ [7, 11], f4: len ∈ [10, 14], f5: len ∈
+                 [13, 17], f6: len ≥ 16 (len = ORIGINAL value length).
+                 Completeness per band (q-gram count filter on the padded
+                 strings, set semantics): a k=2 pair has |Δlen| ≤ 2, so
+                 both ends fall inside one band (every seam overlaps by
+                 ≥ 2: m = 6 → [6,8] ⊆ f2; m ∈ [7,9] → [m, m+2] ⊆ [7,11];
+                 m ∈ [10,12] ⊆ [10,14]; m ∈ [13,15] ⊆ [13,17]; m ≥ 16 ⊆
+                 [16,∞)), and within a band shared padded-gram strings ≥
+                 (m + 2) − n + 1 − k·n ≥ 1 exactly when m ≥ 3n − 2 — 7
+                 for n=3, 10 for n=4, 13 for n=5, 16 for n=6, each band's
+                 lower edge.  (Set-semantics footnote as in
+                 test_f2_band_boundaries: zero shared gram STRINGS forces
+                 every positional padded gram destroyed, each edit touches
+                 ≤ n of them → ≥ ⌈(m+2−n+1)/n⌉ ≥ 3 > k edits.  Padding is
+                 a map applied to both sides — an edit script between a, b
+                 is one between pad(a), pad(b) — so no sentinel-uniqueness
+                 assumption is needed.)
+          Round-4 change (VERDICT r3 wrong #1): f3 was previously 3-grams
+          for ALL len ≥ 9, making gram keys 52% of key rows at sf0.01 with
+          the hottest 3-gram covering 12% of the corpus.  Two levers, both
+          recall-free by the per-band lemma: (1) gram size scales with the
+          length band (each extra gram char cuts per-key heat
+          ~|alphabet|×); (2) sentinel padding runs the count filter at
+          m + 2, buying one extra gram char at every band at identical
+          emission volume — the modal 9-13-char name value emits anchored
+          3/4-grams instead of hot 2/3-grams.  Lengths at band seams
+          (7-8, 10-11, 13-14, 16-17) deliberately double-emit two gram
+          sizes — the overlap is what covers seam-straddling pairs.
+          Hotter gram keys are diluted by the resolver's composite cross
+          (fuzzy name never blocks alone in the fixture models) and the
+          cap/salt machinery.
           The reference's ES ``match``+``fuzziness`` expands query terms in
           the term index with an edit-distance automaton, i.e. its candidate
           recall is complete — this scheme is the batch equivalent
@@ -407,26 +441,39 @@ class CompiledPlan:
                 empty = "[]" if dialect == D.DUCKDB else "array()"
                 def banded(list_sql: str, cond: str) -> str:
                     return f"CASE WHEN {cond} THEN {list_sql} ELSE {empty} END"
+                # sentinel padding: grams are taken over '^'||v||'$' (see
+                # _GRAM_BANDS).  Correctness does not require the sentinels
+                # to be absent from values — padding is a length-preserving
+                # map applied to BOTH sides, so an edit script between a
+                # and b is an edit script between pad(a) and pad(b).
+                pad = f"'^' || {v} || '$'"
+                def gram_bands() -> list:
+                    out = []
+                    for n, lo, hi in _GRAM_BANDS:
+                        cond = (f"{L} >= {lo}" if hi is None
+                                else f"{L} BETWEEN {lo} AND {hi}")
+                        out.append(exploded(f"f{n}", banded(
+                            D.char_ngrams(f"({pad})", n, dialect), cond)))
+                    return out
                 fz = str(m.params.get("fuzziness", "auto")).lower()
                 if fz in ("auto", ""):
                     branches.append(exploded("e1", banded(
                         D.del1_list(v, dialect), f"{L} BETWEEN 3 AND 6")))
-                    branches.append(exploded("f2", banded(
-                        D.char_ngrams(v, 2, dialect), f"{L} BETWEEN 6 AND 10")))
-                    branches.append(exploded("f3", banded(
-                        D.char_ngrams(v, 3, dialect), f"{L} >= 9")))
+                    branches.extend(gram_bands())
                 elif int(fz) == 1:
                     branches.append(exploded("e1", D.del1_list(v, dialect)))
                 elif int(fz) == 2:
+                    # del≤2 band reaches len 7 (ADVICE r3 high): any k=2
+                    # pair with min len ≤ 5 has max len ≤ 7, so BOTH sides
+                    # emit e2 keys and the FastSS neighborhoods intersect;
+                    # the old upper bound of 5 left (len 4-5) × (len 6-7)
+                    # pairs with zero shared key space (f2 starts at 6).
                     # len-1 values: del≤1 IS del≤2 (emitted into e2 space)
                     branches.append(exploded("e2", banded(
-                        D.del2_list(v, dialect), f"{L} BETWEEN 2 AND 5")))
+                        D.del2_list(v, dialect), f"{L} BETWEEN 2 AND 7")))
                     branches.append(exploded("e2", banded(
                         D.del1_list(v, dialect), f"{L} = 1")))
-                    branches.append(exploded("f2", banded(
-                        D.char_ngrams(v, 2, dialect), f"{L} BETWEEN 6 AND 10")))
-                    branches.append(exploded("f3", banded(
-                        D.char_ngrams(v, 3, dialect), f"{L} >= 9")))
+                    branches.extend(gram_bands())
                 elif int(fz) != 0:
                     raise ValueError(
                         f"unsupported fuzziness {fz!r} (auto, 0, 1, 2)")
