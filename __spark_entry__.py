@@ -103,8 +103,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_extract(spark, sf_dir):
     return _job(spark, sf_dir).stage(
-        "SELECT doc_id, source, attr, field, value_norm FROM attrs_x "
-        "ORDER BY doc_id", upto="attrs_x")
+        "SELECT doc_id, source, attr, field, value_norm FROM attrs_x",
+        upto="attrs_x")
 
 
 def _q_keys(spark, sf_dir):
@@ -504,8 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return _td_oracles() | {
         "er_extract_attributes": _oracle_stage(
-            "SELECT doc_id, source, attr, field, value_norm FROM attrs_x "
-            "ORDER BY doc_id", upto="attrs_x"),
+            "SELECT doc_id, source, attr, field, value_norm FROM attrs_x",
+            upto="attrs_x"),
         "er_blocking_keys": _oracle_stage(
             "SELECT doc_id, attr, key FROM keys_x", upto="keys_x"),
         "er_candidate_pairs": _oracle_stage(

@@ -49,17 +49,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from zentity_spark import dialect as D
 from zentity_spark.model import Model
-from zentity_spark.operators.cluster import connected_components_by_hash
+from zentity_spark.operators.cluster import (_id_stats, broadcast_row_budget,
+                                             connected_components_by_hash)
 from zentity_spark.pipeline import DEFAULT_SCOPE, ResolutionJob
 from zentity_spark.plans.compiler import Scope
 
 # per-document stages whose union across increments equals the batch stage
 PER_DOC_STAGES = ("attrs_x", "keys_x", "vals_x", "vals_wide_x")
 
-# Δ doc count at or below which the Δ key side of the pair probe is
-# broadcast (mirrors cluster._FRONTIER_BROADCAST_MAX reasoning: a small
-# increment must not reshuffle the big side)
-_BROADCAST_DELTA_MAX = 1_000_000
 
 
 class IncrementalResolver:
@@ -191,11 +188,15 @@ class IncrementalResolver:
             job._replace[st] = self._scan(st)
         job._compute_skew_policy()
 
-        # 3. Δ candidate pairs: probe combined keys with the new ids only
-        n_new = new_docs.count()
+        # 3. Δ candidate pairs: probe combined keys with the new ids only.
+        # The Δ-side broadcast is BYTE-gated against the session's own
+        # autoBroadcastJoinThreshold (rows × measured id width — ADVICE r3:
+        # a fixed 1M-row cap hinted wide-id relations past the planner's
+        # size check); a too-large Δ falls back to a shuffle join.
+        n_new, id_w = _id_stats(new_docs)
         v_new = f"{job._view}_newids"
         new_docs.select("doc_id").createOrReplaceTempView(v_new)
-        bcast = n_new <= _BROADCAST_DELTA_MAX
+        bcast = n_new <= broadcast_row_budget(spark, id_w)
         plan = job.plan
         delta_select = " UNION ALL ".join(
             plan.sql_pairs_delta(r, D.SPARK, v_new, broadcast_new=bcast)

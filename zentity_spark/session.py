@@ -49,9 +49,17 @@ def get_spark(master: str | None = None, app: str = "zentity_spark",
         # runs ("shuffle_N_M_0.index: No such file or directory", two sf1
         # bench deaths).  Production analog: always point spark.local.dir
         # at provisioned scratch volumes, never the OS tmp.
+        # Precedence (ADVICE r3: don't silently repoint every user's spill
+        # disk — shuffle spill at sf1+ is tens of GB and home volumes can
+        # be small): an explicit spark.local.dir in ``extra`` wins, then
+        # SPARK_LOCAL_DIRS (Spark's own env contract), then
+        # ZENTITY_LOCAL_DIR, then the home-dir default.  See README
+        # "Scratch disk" for sizing expectations.
         .config("spark.local.dir",
-                os.environ.get("ZENTITY_LOCAL_DIR",
-                               os.path.expanduser("~/.zentity_spark_local")))
+                (extra or {}).get("spark.local.dir")
+                or os.environ.get("SPARK_LOCAL_DIRS")
+                or os.environ.get("ZENTITY_LOCAL_DIR",
+                                  os.path.expanduser("~/.zentity_spark_local")))
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
