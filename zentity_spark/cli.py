@@ -19,6 +19,7 @@ import json
 import sys
 
 from zentity_spark import ABOUT
+from zentity_spark.io import Storage
 from zentity_spark.model import Model
 from zentity_spark.pipeline import ResolutionJob
 from zentity_spark.plans.compiler import Scope
@@ -26,9 +27,12 @@ from zentity_spark.session import get_spark
 
 
 def _common(ap: argparse.ArgumentParser) -> None:
-    ap.add_argument("--docs", required=True, help="input docs parquet path")
+    ap.add_argument("--docs", required=True, help="input docs table/path")
     ap.add_argument("--model", required=True, help="entity model JSON file")
-    ap.add_argument("--output", required=True, help="output parquet dir")
+    ap.add_argument("--output", required=True, help="output table/path")
+    ap.add_argument("--storage-format", default=None,
+                    help="table format (default parquet; env "
+                         "ZENTITY_STORAGE_FORMAT; e.g. iceberg with jars)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--block-cap", type=int, default=1000)
@@ -40,14 +44,16 @@ def _common(ap: argparse.ArgumentParser) -> None:
 def _job(args) -> ResolutionJob:
     spark = get_spark(master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
-    docs = spark.read.parquet(args.docs)
+    storage = Storage(spark, fmt=args.storage_format)
+    docs = storage.read(args.docs)
     with open(args.model) as f:
         model = Model.parse(f.read())
     scope = Scope(include_resolvers=tuple(args.include_resolver),
                   exclude_resolvers=tuple(args.exclude_resolver))
     return ResolutionJob(spark, docs, model, scope=scope,
                          block_cap=args.block_cap,
-                         checkpoint_dir=args.checkpoint_dir)
+                         checkpoint_dir=args.checkpoint_dir,
+                         storage=storage)
 
 
 def main(argv=None) -> int:
@@ -90,8 +96,8 @@ def main(argv=None) -> int:
                            ids=args.id or None,
                            max_hops=args.max_hops,
                            max_time_per_query=args.max_time_per_query)
-    out.write.mode("overwrite").parquet(args.output)
-    n = job.spark.read.parquet(args.output).count()
+    job.storage.write(out, args.output)
+    n = job.storage.read(args.output).count()
     print(json.dumps({"output": args.output, "rows": n}))
     return 0
 

@@ -30,24 +30,33 @@ Why increments are cheap:
     byte-identical.
 
 State layout under ``state_dir``:
-    docs/          ingested documents (append per increment)
-    attrs_x/ keys_x/ vals_x/ vals_wide_x/ ck_<resolver>/
-                   per-doc stage parquet (append per increment)
-    edges/         verified match edges (append; full edge log ⇒ the
+    docs/inc=<fold_id>/   ingested documents, ONE subdir per increment
+    attrs_x/ keys_x/ vals_x/ vals_wide_x/ ck_<resolver>/  (same inc= layout)
+                   per-doc stage rows per increment
+    edges/inc=<fold_id>/  verified match edges (full edge log ⇒ the
                    labels can always be rebuilt from scratch)
     labels_<n>/    current labels (versioned; CURRENT points at the live one)
-    CURRENT        json pointer {"labels": path, "n_batches": k}
+    CURRENT        json pointer {"labels": path, "n_batches": k, "fold_id": i}
+
+Exactly-once folds (ADVICE r3 medium): every per-increment write goes to a
+deterministic ``inc=<fold_id>`` subdirectory in OVERWRITE mode, so a
+replayed fold (Structured Streaming retries a micro-batch after a
+mid-fold crash, with the same batch_id and the same rows) replaces its
+own partial output instead of appending duplicates; ``labels_<n>`` and
+``seen_ids`` are likewise overwrite-idempotent, and CURRENT commits via
+atomic rename.  A fold that already committed is skipped entirely by the
+caller via ``committed_fold_id()`` (streaming/resolve.py).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from zentity_spark import dialect as D
+from zentity_spark.io import Storage
 from zentity_spark.model import Model
 from zentity_spark.operators.cluster import (_id_stats, broadcast_row_budget,
                                              connected_components_by_hash)
@@ -64,8 +73,10 @@ class IncrementalResolver:
     re-expressed as a fold).  Not thread-safe; one writer per state_dir."""
 
     def __init__(self, spark: SparkSession, model: Model, state_dir: str,
-                 scope: Scope | None = None, block_cap: int = 1000):
+                 scope: Scope | None = None, block_cap: int = 1000,
+                 storage: Storage | None = None):
         self.spark = spark
+        self.storage = storage if storage is not None else Storage(spark)
         self.model = model
         self.scope = scope if scope is not None else DEFAULT_SCOPE
         self.block_cap = block_cap
@@ -82,8 +93,20 @@ class IncrementalResolver:
     def _path(self, stage: str) -> str:
         return os.path.join(self.state_dir, stage)
 
+    def _part(self, stage: str, fold_id: int) -> str:
+        """per-increment overwrite target: replayed folds replace their own
+        partial output (partition-dir layout, so reading the stage root
+        sees the union of all increments plus an ``inc`` column)."""
+        return os.path.join(self._path(stage), f"inc={fold_id}")
+
+    def committed_fold_id(self) -> int:
+        """fold_id of the last COMMITTED increment (-1 before the first) —
+        the skip gate for replayed stream micro-batches."""
+        cur = self._current()
+        return cur.get("fold_id", -1) if cur else -1
+
     def _scan(self, stage: str) -> str:
-        return f"parquet.`{self._path(stage)}`"
+        return self.storage.scan_sql(self._path(stage))
 
     def _current(self) -> dict | None:
         if not os.path.exists(self._ptr):
@@ -95,7 +118,7 @@ class IncrementalResolver:
         return [f"ck_{r.name}" for r in job.plan.active_resolvers()]
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self._path("docs"))
+        return self.storage.read(self._path("docs")).select("doc_id", "spans")
 
     def labels(self) -> DataFrame:
         """current (doc_id, entity_id) for edge-bearing docs (singletons are
@@ -103,7 +126,7 @@ class IncrementalResolver:
         cur = self._current()
         if cur is None:
             raise ValueError("no increments folded yet")
-        return self.spark.read.parquet(cur["labels"])
+        return self.storage.read(cur["labels"])
 
     def clusters(self) -> DataFrame:
         """(doc_id, entity_id, spans) for every ingested doc — singletons
@@ -116,49 +139,65 @@ class IncrementalResolver:
 
     # ---------- the fold ----------
 
-    def add(self, new_docs: DataFrame) -> DataFrame:
+    def add(self, new_docs: DataFrame, fold_id: int | None = None) -> DataFrame:
         """fold one increment; returns the updated labels DataFrame.
 
         Contract: doc_ids globally unique across increments (the streaming
-        ingest dedups on doc_id before the sink)."""
+        ingest dedups on doc_id before the sink).  ``fold_id`` identifies
+        the increment for replay idempotency — a stream passes its
+        micro-batch id (stable across retries); direct callers default to
+        the next batch ordinal."""
         spark = self.spark
         cur = self._current()
+        committed = self.committed_fold_id()
+        if fold_id is None:
+            # strictly above every committed fold — stream batch_ids can
+            # skip ordinals (empty batches), so n_batches+1 could collide
+            # with (and overwrite) an existing inc= dir
+            fold_id = committed + 1
+        elif fold_id <= committed:
+            raise ValueError(
+                f"fold_id {fold_id} already committed (last = {committed}) "
+                f"— replaying a committed fold would overwrite its state")
         new_docs = new_docs.select("doc_id", "spans")
-        new_docs.write.mode("append").parquet(self._path("docs"))
-        # re-read from the state parquet: one scan source for every
+        self.storage.write(new_docs, self._part("docs", fold_id))
+        # re-read from the state table: one scan source for every
         # downstream use (and the input plan may be a one-shot stream batch)
         if cur is None:
-            return self._bootstrap(spark.read.parquet(self._path("docs")))
-        return self._fold_delta()
+            return self._bootstrap(self.docs(), fold_id)
+        return self._fold_delta(fold_id)
 
-    def _write_stage_rows(self, job: ResolutionJob) -> None:
-        """append the increment's per-doc stage rows + composite keys into
+    def _write_stage_rows(self, job: ResolutionJob, fold_id: int) -> None:
+        """write the increment's per-doc stage rows + composite keys into
         the state dirs (job is over the Δ docs ONLY; its stages ARE the
-        Δ rows of the combined stages)."""
+        Δ rows of the combined stages); overwrite-per-increment for
+        replay idempotency."""
         job.materialize()  # Δ-local: attrs/keys/vals_wide (+ ck if skewed)
         for st in PER_DOC_STAGES:
-            job.stage(f"SELECT * FROM {st}", upto=st) \
-                .write.mode("append").parquet(self._path(st))
+            self.storage.write(
+                job.stage(f"SELECT * FROM {st}", upto=st),
+                self._part(st, fold_id))
         for st in self._ck_stages(job):
-            job.stage(f"SELECT doc_id, ckey FROM {st}", upto=st) \
-                .write.mode("append").parquet(self._path(st))
+            self.storage.write(
+                job.stage(f"SELECT doc_id, ckey FROM {st}", upto=st),
+                self._part(st, fold_id))
 
-    def _bootstrap(self, docs: DataFrame) -> DataFrame:
+    def _bootstrap(self, docs: DataFrame, fold_id: int) -> DataFrame:
         """first increment = the full batch path (keeps the batch plan's
         skew salting for the one genuinely large job), stages persisted
         into the state dirs for later increments to union against."""
         job = ResolutionJob(self.spark, docs, self.model, self.scope,
                             self.block_cap)
-        self._write_stage_rows(job)
+        self._write_stage_rows(job, fold_id)
         edges = job.match_edges()
-        edges.write.mode("append").parquet(self._path("edges"))
+        self.storage.write(edges, self._part("edges", fold_id))
         job.unpersist()
-        edges = self.spark.read.parquet(self._path("edges"))
+        edges = self.storage.read(self._path("edges"))
         labels = connected_components_by_hash(
             edges.select("doc_id_a", "doc_id_b"))
-        return self._commit(labels)
+        return self._commit(labels, fold_id)
 
-    def _fold_delta(self) -> DataFrame:
+    def _fold_delta(self, fold_id: int) -> DataFrame:
         spark = self.spark
         cur = self._current()
         docs_all = self.docs()
@@ -169,15 +208,15 @@ class IncrementalResolver:
         # track via the per-stage row origin: keys_x holds every previously
         # folded doc that produced a key, but attribute-less docs produce
         # none, so persist the seen-id set explicitly instead.
-        seen = spark.read.parquet(self._path("seen_ids")) \
-            if os.path.exists(self._path("seen_ids")) else None
+        seen = self.storage.read(self._path("seen_ids")) \
+            if self.storage.exists(self._path("seen_ids")) else None
         new_docs = (docs_all.join(seen, "doc_id", "left_anti")
                     if seen is not None else docs_all)
 
         # 1. Δ per-doc stage rows appended
         dj = ResolutionJob(spark, new_docs, self.model, self.scope,
                            self.block_cap)
-        self._write_stage_rows(dj)
+        self._write_stage_rows(dj, fold_id)
         dj.unpersist()
 
         # 2. combined-corpus job with every per-doc stage redirected at the
@@ -214,12 +253,12 @@ class IncrementalResolver:
         d_edges = job.stage(
             "SELECT doc_id_a, doc_id_b, resolver FROM match_edges_x",
             upto="match_edges_x")
-        d_edges.write.mode("append").parquet(self._path("edges"))
+        self.storage.write(d_edges, self._part("edges", fold_id))
         d_edges = d_edges.localCheckpoint()
         self.last_delta_edges = d_edges.count()
 
         # 5. merge: re-cluster touched components only
-        old = spark.read.parquet(cur["labels"])
+        old = self.storage.read(cur["labels"])
         d_nodes = (d_edges.select(F.col("doc_id_a").alias("doc_id"))
                    .union(d_edges.select("doc_id_b")).distinct())
         touched = (old.join(F.broadcast(d_nodes), "doc_id", "semi")
@@ -233,23 +272,22 @@ class IncrementalResolver:
             star.union(d_edges.select("doc_id_a", "doc_id_b")))
         labels = untouched.unionByName(relabeled)
         job.unpersist()
-        return self._commit(labels)
+        return self._commit(labels, fold_id)
 
-    def _commit(self, labels: DataFrame) -> DataFrame:
+    def _commit(self, labels: DataFrame, fold_id: int) -> DataFrame:
         cur = self._current()
         n = (cur["n_batches"] + 1) if cur else 1
         path = self._path(f"labels_{n}")
-        labels.select("doc_id", "entity_id") \
-            .write.mode("overwrite").parquet(path)
+        self.storage.write(labels.select("doc_id", "entity_id"), path)
         # the seen-id set makes the NEXT fold's Δ detection exact even for
-        # docs that produce no attributes/keys
-        self.docs().select("doc_id") \
-            .write.mode("overwrite").parquet(self._path("seen_ids_next"))
-        seen_dir = self._path("seen_ids")
-        shutil.rmtree(seen_dir, ignore_errors=True)
-        os.rename(self._path("seen_ids_next"), seen_dir)
-        with open(self._ptr, "w") as f:
-            json.dump({"labels": path, "n_batches": n}, f)
+        # docs that produce no attributes/keys; atomic replace so a crash
+        # mid-write can't leave a half-readable seen set
+        self.storage.overwrite_atomic(
+            self.docs().select("doc_id"), self._path("seen_ids"))
+        tmp = self._ptr + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"labels": path, "n_batches": n, "fold_id": fold_id}, f)
+        os.replace(tmp, self._ptr)
         if cur:
-            shutil.rmtree(cur["labels"], ignore_errors=True)
-        return self.spark.read.parquet(path)
+            self.storage.remove(cur["labels"])
+        return self.storage.read(path)

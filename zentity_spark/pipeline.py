@@ -16,6 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from zentity_spark import dialect as D
+from zentity_spark.io import Storage
 from zentity_spark.model import Model
 from zentity_spark.operators.cluster import (
     bounded_label_propagation,
@@ -34,9 +35,11 @@ class ResolutionJob:
 
     def __init__(self, spark: SparkSession, docs: DataFrame, model: Model,
                  scope: Scope | None = None, block_cap: int = 1000,
-                 checkpoint_dir: str | None = None):
+                 checkpoint_dir: str | None = None,
+                 storage: "Storage | None" = None):
         self.spark = spark
         self.docs = docs
+        self.storage = storage if storage is not None else Storage(spark)
         self._ckpt_dir = checkpoint_dir
         self._owns_ckpt_dir = checkpoint_dir is None
         self.plan: CompiledPlan = compile_model(
@@ -173,7 +176,7 @@ class ResolutionJob:
             jobs = []
             for st in todo:
                 path = os.path.join(self._ckpt_dir, st)
-                if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                if not self.storage.complete(path):
                     jobs.append((st, path,
                                  self.stage(f"SELECT * FROM {st}", upto=st)))
 
@@ -183,8 +186,8 @@ class ResolutionJob:
                 # Observation: row count piggybacks on the write job — no
                 # post-write re-read pass for lineage metrics
                 obs = Observation()
-                df.observe(obs, F.count(F.lit(1)).alias("n")) \
-                    .write.mode("overwrite").parquet(path)
+                self.storage.write(
+                    df.observe(obs, F.count(F.lit(1)).alias("n")), path)
                 self._metric(st, obs.get["n"], (_t.time() - t0) * 1000)
 
             if len(jobs) == 1:
@@ -198,7 +201,7 @@ class ResolutionJob:
                     t.join()
             for st in todo:
                 path = os.path.join(self._ckpt_dir, st)
-                self._replace[st] = f"parquet.`{path}`"
+                self._replace[st] = self.storage.scan_sql(path)
 
     def cache_stages_under(self, base: str) -> "ResolutionJob":
         """share materialized stages across jobs: the checkpoint dir becomes
@@ -266,13 +269,13 @@ class ResolutionJob:
         import time as _t
         from pyspark.sql import Observation
         path = os.path.join(self._ckpt_dir, name)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not self.storage.complete(path):
             t0 = _t.time()
             obs = Observation()
-            build().observe(obs, F.count(F.lit(1)).alias("n")) \
-                .write.mode("overwrite").parquet(path)
+            self.storage.write(
+                build().observe(obs, F.count(F.lit(1)).alias("n")), path)
             self._metric(name, obs.get["n"], (_t.time() - t0) * 1000)
-        return self.spark.read.parquet(path)
+        return self.storage.read(path)
 
     def run_checkpointed(self) -> DataFrame:
         """full batch resolution with EVERY major stage materialized to

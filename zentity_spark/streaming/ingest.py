@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F, types as T
 
+from zentity_spark.io import Storage
+
 SPAN_SCHEMA = T.ArrayType(T.StructType([
     T.StructField("kind", T.StringType()),
     T.StructField("text", T.StringType()),
@@ -41,30 +43,25 @@ STREAM_SCHEMA = T.StructType([
 
 def stream_documents(spark: SparkSession, landing_dir: str, table_dir: str,
                      checkpoint_dir: str, watermark: str = "10 minutes",
-                     available_now: bool = False):
-    """landing parquet files → deduped append stream into the docs table.
+                     available_now: bool = False,
+                     storage: Storage | None = None):
+    """landing files → deduped append stream into the docs table.
 
     Returns the started ``StreamingQuery``.  ``available_now=True``
     processes the current backlog and stops (test/batch-catchup mode);
-    otherwise the query runs continuously.
+    otherwise the query runs continuously.  Source/sink formats come from
+    ``storage`` (plain parquet offline; Iceberg by config — io.Storage).
     """
-    src = (
-        spark.readStream.schema(STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", "64")
-        .parquet(landing_dir)
-    )
+    storage = storage if storage is not None else Storage(spark)
+    src = storage.stream_source(STREAM_SCHEMA, landing_dir,
+                                maxFilesPerTrigger="64")
     deduped = (
         src.withWatermark("event_ts", watermark)
         .dropDuplicatesWithinWatermark(["doc_id"])
         .select("doc_id", "spans")
     )
-    writer = (
-        deduped.writeStream
-        .format("parquet")
-        .option("path", table_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
+    writer = storage.stream_sink(deduped, table_dir,
+                                 checkpoint_dir).outputMode("append")
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
