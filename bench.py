@@ -47,7 +47,9 @@ def _steal_pct(before, after) -> float | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle = int(os.environ.get("BENCH_SHUFFLE", str(4 * cpus)))
+    shuffle = int(os.environ.get("BENCH_SHUFFLE",
+                                 os.environ.get("SPARK_GRAFT_SHUFFLE",
+                                                str(4 * cpus))))
 
     from zentity_spark.model import Model
     from zentity_spark.pipeline import ResolutionJob
@@ -55,10 +57,16 @@ def main() -> None:
     from zentity_spark.synth import corpus_dir_for_sf_dir
 
     corpus = corpus_dir_for_sf_dir(sf_dir)  # generates on first call (cached)
+    extra = {"spark.driver.memory":
+             os.environ.get("ZENTITY_DRIVER_MEM", "32g")}
+    # shuffle/broadcast codec A/B (VERDICT r3 next #3: the E(2→8) residual
+    # is bandwidth-shaped — zstd trades CPU for shuffle bytes):
+    # ZENTITY_IO_CODEC=zstd vs the lz4 default
+    codec = os.environ.get("ZENTITY_IO_CODEC")
+    if codec:
+        extra["spark.io.compression.codec"] = codec
     spark = get_spark(master=f"local[{cpus}]", app="zentity_bench",
-                      shuffle_partitions=shuffle,
-                      extra={"spark.driver.memory":
-                             os.environ.get("ZENTITY_DRIVER_MEM", "32g")})
+                      shuffle_partitions=shuffle, extra=extra)
 
     docs = spark.read.parquet(os.path.join(corpus, "docs_spans.parquet"))
     n_docs = docs.count()

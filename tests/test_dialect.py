@@ -161,6 +161,18 @@ _FMT_CASES = {
     "M/d/yyyy": ["3/4/2021", "12/31/1999", "nope"],
     "epoch_millis": ["1614816000000", "0", "-86400000", "notanum"],
     "epoch_second": ["1614816000", "0", "-86400", ""],
+    # zone offsets (VERDICT r3 missing #3): UTC-normalized in both
+    # engines, incl. the date FLIP across midnight and the literal 'Z'
+    # an X token admits
+    "yyyy-MM-dd'T'HH:mm:ssXXX": ["2020-01-01T22:00:00-05:00",
+                                 "2020-01-01T03:00:00+05:00",
+                                 "2020-06-07T12:00:00Z",
+                                 "2020-01-01T22:00:00", "junk"],
+    "yyyy-MM-dd'T'HH:mm:ssX": ["2020-01-01T22:00:00-05",
+                               "2020-12-31T23:30:00+02",
+                               "2020-06-07T12:00:00Z", "junk"],
+    "yyyy-MM-dd HH:mm:ss Z": ["2020-01-01 22:00:00 -0500",
+                              "2020-01-01 03:00:00 +0500", "junk"],
 }
 
 
@@ -179,9 +191,11 @@ def test_date_format_validation():
     for ok in list(_FMT_CASES) + ["yyyy-MM-dd", "dd/MM/yyyy",
                                   "'on' yyyy-MM-dd 'it''s' HH:mm"]:
         D.validate_date_format(ok)
-    for bad in ["yyyy-MM-dd XXX", "yyyy-MM-ddZ", "epoch_micros",
+    # zone NAMES (z/VV), era, week-year, reduced-year stay rejected;
+    # offsets (X/XX/XXX/Z) are supported since round 4
+    for bad in ["yyyy-MM-dd z", "yyyy-MM-dd VV", "epoch_micros",
                 "yyyy-'MM-dd", "GGGG-MM-dd", "yyyy-MM-dd HH:mm:ss.SS",
-                "yy-MM-dd"]:
+                "yy-MM-dd", "YYYY-ww"]:
         with pytest.raises(ValueError):
             D.validate_date_format(bad)
 
@@ -191,13 +205,14 @@ def test_model_rejects_untranslatable_date_format():
     from zentity_spark.model import Model, ValidationError
     spec = {
         "attributes": {"dob": {"type": "date",
-                               "params": {"format": "yyyy-MM-dd'T'HH:mm:ssXXX"}}},
+                               "params": {"format": "yyyy-MM-dd'T'HH:mm:ss z"}}},
         "resolvers": {"r": {"attributes": ["dob"]}},
         "matchers": {"x": {"clause": {"term": {"{{ field }}": "{{ value }}"}}}},
         "indices": {"i": {"fields": {"dob_f": {"attribute": "dob",
                                                "matcher": "x"}}}},
     }
-    with pytest.raises(ValidationError, match="XXX"):
+    with pytest.raises(ValidationError, match="'z'"):
         Model.parse(json.dumps(spec))
-    spec["attributes"]["dob"]["params"]["format"] = "epoch_millis"
-    Model.parse(json.dumps(spec))
+    for ok in ("epoch_millis", "yyyy-MM-dd'T'HH:mm:ssXXX"):
+        spec["attributes"]["dob"]["params"]["format"] = ok
+        Model.parse(json.dumps(spec))

@@ -88,6 +88,13 @@ _DATE_TOKENS = {
     "ss": ("%S", "%S"), "s": ("%S", "%S"),
     "SSS": ("%g", "%f"),          # millis: DuckDB %g; python %f zero-pads
     "a": ("%p", "%p"),            # AM/PM marker
+    # zone OFFSETS (VERDICT r3 missing #3): X-family = ISO-8601 (+05 /
+    # +0500 / +05:00 / literal Z), Z = RFC-822 (+0500).  DuckDB %z parses
+    # every numeric shape; the literal 'Z' an X token admits is
+    # pre-normalized to +00:00 in norm_date.  Zone NAMES (z, VV) and
+    # week/era tokens stay rejected at model parse.
+    "X": ("%z", "%z"), "XX": ("%z", "%z"), "XXX": ("%z", "%z"),
+    "Z": ("%z", "%z"),
 }
 EPOCH_DATE_FORMATS = ("epoch_millis", "epoch_second")
 
@@ -168,9 +175,20 @@ def norm_date(c: str, dialect: str, fmt: str = "yyyy-MM-dd") -> str:
         fn = "timestamp_millis" if fmt == "epoch_millis" else "timestamp_seconds"
         return (f"date_format({fn}(try_cast(trim({c}) AS BIGINT)), "
                 f"'yyyy-MM-dd')")
+    toks = [v for k, v in split_date_format(fmt) if k == "tok"]
+    x_family = any(t in ("X", "XX", "XXX") for t in toks)
+    has_offset = x_family or "Z" in toks
     if dialect == DUCKDB:
-        return (f"strftime(try_strptime(trim({c}), "
-                f"'{java_date_fmt_to_c(fmt)}'), '%Y-%m-%d')")
+        arg = f"trim({c})"
+        if x_family:
+            # Java's X tokens admit a literal 'Z' for +00:00; %z doesn't
+            arg = f"regexp_replace({arg}, 'Z$', '+00:00')"
+        ts = f"try_strptime({arg}, '{java_date_fmt_to_c(fmt)}')"
+        if has_offset:
+            # %z yields TIMESTAMPTZ: render the UTC calendar date
+            # explicitly so the result is session-timezone independent
+            return f"strftime({ts} AT TIME ZONE 'UTC', '%Y-%m-%d')"
+        return f"strftime({ts}, '%Y-%m-%d')"
     sql_fmt = fmt.replace("'", "''")    # SQL string escaping for quoted
     return (f"date_format(try_to_timestamp(trim({c}), '{sql_fmt}'), "
             f"'yyyy-MM-dd')")           # literals like 'T' in the pattern
