@@ -62,11 +62,17 @@ def run_bench(sf_dir: str, cpus: int, shuffle: int, repeat: int) -> dict:
 
 
 def measure_level(sf_dir: str, cpus: int, shuffle: int, runs: int,
-                  steal_thr: float, clean_runs: int, max_tries: int) -> dict:
+                  steal_thr: float, clean_runs: int, max_tries: int,
+                  seed_walls: list | None = None) -> dict:
     """collect per-run (wall, steal%%) for one parallelism level, dropping
     each process's run 0 (JIT warmup); retry until >= clean_runs runs with
-    steal <= steal_thr or max_tries bench processes have run."""
-    walls: list[tuple[float, float | None]] = []
+    steal <= steal_thr or max_tries bench processes have run.
+
+    ``seed_walls``: prior runs of the SAME engine commit (from the store)
+    — lets a level accumulate clean runs across invocations, so each
+    invocation stays under the sandbox's ~20-min process killer."""
+    walls: list[tuple[float, float | None]] = [
+        tuple(w) for w in (seed_walls or [])]
     tries = 0
     while tries < max_tries:
         tries += 1
@@ -193,8 +199,16 @@ def main() -> None:
     for cpus in [int(c) for c in args.levels.split(",")]:
         shuffle = 4 * cpus
         t0 = time.time()
+        prior = store.get(sf, {}).get(str(cpus))
+        seed = (prior["all_runs"]
+                if prior and prior.get("commit") == commit else None)
+        if seed and prior.get("n_clean", 0) >= args.clean_runs:
+            print(f"local[{cpus}]: already {prior['n_clean']} clean runs "
+                  f"at {commit} — skipping", flush=True)
+            continue
         r = measure_level(args.sf_dir, cpus, shuffle, args.runs,
-                          args.steal_thr, args.clean_runs, args.max_tries)
+                          args.steal_thr, args.clean_runs, args.max_tries,
+                          seed_walls=seed)
         r["commit"] = commit
         store.setdefault(sf, {})[str(cpus)] = r
         print(f"local[{cpus}] min-clean={r['wall_s']}s "
