@@ -517,6 +517,7 @@ def _oracle_media() -> str:
 # ---------------------------------------------------------------------------
 
 _EMB_DIM = 64  # driver embeddings table dimension (all sf tiers)
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # driver compares at sf=0.01
 
 
 def _td_query(name):
@@ -524,7 +525,15 @@ def _td_query(name):
         table = "embeddings" if name.startswith("td_embed") else "documents"
         rel = f"parquet.`{os.path.join(sf_dir, table)}.parquet`"
         if name == "td_embed_ann":
-            return spark.sql(tdops.sql_embed_ann(rel, D.SPARK, _EMB_DIM))
+            # N-adaptive LSH sizing (VERDICT r3 weak #3): bits hold bucket
+            # occupancy, tables re-buy recall — see tdops.ann_params_for.
+            # The oracle render counts the same sf0.01 table, so both
+            # sides embed identical (tables, bits) at compare time.
+            n = spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")).count()
+            tables, bits = tdops.ann_params_for(n)
+            return spark.sql(tdops.sql_embed_ann(
+                rel, D.SPARK, _EMB_DIM, tables=tables, bits=bits))
         fn = {**tdops.DOC_OPS, **tdops.EMB_OPS}[name]
         return spark.sql(fn(rel, D.SPARK))
     return run
@@ -532,12 +541,19 @@ def _td_query(name):
 
 def _td_oracles() -> dict[str, str]:
     # driver pre-registers `documents` / `embeddings` views at sf0.01
+    import duckdb
     out = {}
     for name, fn in tdops.DOC_OPS.items():
         out[name] = fn("documents", D.DUCKDB)
     for name, fn in tdops.EMB_OPS.items():
         out[name] = fn("embeddings", D.DUCKDB)
-    out["td_embed_ann"] = tdops.sql_embed_ann("embeddings", D.DUCKDB, _EMB_DIM)
+    n = duckdb.connect().execute(
+        "SELECT count(*) FROM read_parquet("
+        f"'{os.path.join(_ORACLE_SF_DIR, 'embeddings.parquet')}')"
+    ).fetchone()[0]
+    tables, bits = tdops.ann_params_for(n)
+    out["td_embed_ann"] = tdops.sql_embed_ann(
+        "embeddings", D.DUCKDB, _EMB_DIM, tables=tables, bits=bits)
     return out
 
 

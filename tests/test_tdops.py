@@ -217,3 +217,27 @@ def test_minhash_prod_candidate_recall():
     rec16 = _minhash_cand_recall(con, truth, tdops.MINHASH_K,
                                  tdops.MINHASH_BANDS)
     assert rec16[0.2] < rec[0.2]
+
+
+def test_ann_params_scale_with_corpus():
+    """VERDICT r3 weak #3: bits grow with N (bucket occupancy held), and
+    tables grow with bits so the miss bound (1-p^bits)^L <= miss keeps
+    holding until the documented caps."""
+    import math
+    t1, b1 = tdops.ann_params_for(500)
+    t2, b2 = tdops.ann_params_for(50_000)
+    t3, b3 = tdops.ann_params_for(5_000_000)
+    assert b1 < b2 < b3          # occupancy-held bits growth
+    assert t1 <= t2 <= t3        # recall re-bought with tables
+    p = 1.0 - math.acos(0.7) / math.pi
+    for t, b in ((t1, b1), (t2, b2), (t3, b3)):
+        # while the table cap is slack the miss bound must actually hold;
+        # once it binds, the helper pins tables AT the cap (the documented
+        # multiprobe/IVF handoff point)
+        if t < 32:
+            assert (1.0 - p ** b) ** t <= 0.25 + 1e-9
+        else:
+            assert t == 32
+    # caps bound the plan at any N
+    t4, b4 = tdops.ann_params_for(10**12)
+    assert b4 <= 24 and t4 <= 32

@@ -22,6 +22,7 @@ Scale notes (10^12-doc thinking, SURVEY §5.3 applies):
 from __future__ import annotations
 
 import hashlib
+import math
 
 from zentity_spark import dialect as D
 
@@ -384,6 +385,38 @@ def _rademacher(table: int, bit: int, dim: int) -> list:
         hx = hashlib.md5(f"ann/{table}/{bit}/{i}".encode()).hexdigest()
         out.append(1.0 if int(hx[:2], 16) & 1 else -1.0)
     return out
+
+
+def ann_params_for(n_rows: int, cos_tau: float = 0.7, miss: float = 0.25,
+                   target_bucket_rows: int = 32, min_bits: int = 6,
+                   max_bits: int = 24, max_tables: int = 32) -> tuple:
+    """(tables, bits) sizing for sql_embed_ann at a given corpus size
+    (VERDICT r3 weak #3: bits/table must grow with N, and recall must be
+    re-bought with tables as it does).
+
+    bits: hold expected bucket occupancy ≈ target_bucket_rows, i.e.
+    bits = log2(N / target) — per-table candidate work stays
+    ~tables · N · target/2 instead of growing quadratically.
+    tables: a pair at cosine θ agrees on one hyperplane with
+    p = 1 − acos(θ)/π, survives one table with p^bits, and is MISSED by
+    all L tables with (1 − p^bits)^L ≤ miss ⇒
+    L = ceil(ln miss / ln(1 − p^bits)).
+
+    Both are capped (bits ≤ 24, tables ≤ 32): beyond that, plain
+    sign-LSH is table-hungry — at 10⁹+ rows the honest scale path is
+    multiprobe (flip the weakest-margin bits) or a coarse IVF partition
+    feeding this same verify stage; the caps keep the plan bounded and
+    the docstring keeps the limitation explicit."""
+    frac = max(n_rows, 1) / float(target_bucket_rows)
+    bits = max(min_bits, min(max_bits,
+                             math.ceil(math.log2(frac)) if frac > 1
+                             else min_bits))
+    p = 1.0 - math.acos(cos_tau) / math.pi
+    keep = p ** bits
+    if keep >= 1.0:
+        return 1, bits
+    tables = math.ceil(math.log(miss) / math.log(1.0 - keep))
+    return max(1, min(max_tables, tables)), bits
 
 
 def sql_embed_ann(rel: str, dialect: str, dim: int,
