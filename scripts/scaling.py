@@ -37,6 +37,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STORE = os.path.join(REPO, "BENCH", "scaling_results.json")
 
 
+def engine_fingerprint() -> str:
+    """Hash of the code that determines bench behavior (zentity_spark/*.py,
+    bench.py, __spark_entry__.py).  Accumulating clean runs across
+    invocations is keyed on THIS, not the git commit, so doc-only commits
+    between invocations don't discard measured runs of an unchanged engine."""
+    import hashlib
+    h = hashlib.sha256()
+    paths = [os.path.join(REPO, "bench.py"),
+             os.path.join(REPO, "__spark_entry__.py")]
+    for root, _dirs, files in os.walk(os.path.join(REPO, "zentity_spark")):
+        paths.extend(os.path.join(root, f) for f in files if f.endswith(".py"))
+    for p in sorted(paths):
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def run_bench(sf_dir: str, cpus: int, shuffle: int, repeat: int) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
@@ -194,22 +211,25 @@ def main() -> None:
     commit = subprocess.run(
         ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True).stdout.strip()
+    fp = engine_fingerprint()
 
     store = load_store()
     for cpus in [int(c) for c in args.levels.split(",")]:
         shuffle = 4 * cpus
         t0 = time.time()
         prior = store.get(sf, {}).get(str(cpus))
-        seed = (prior["all_runs"]
-                if prior and prior.get("commit") == commit else None)
+        seed = (prior["all_runs"] if prior and
+                (prior.get("engine_fp") == fp or
+                 prior.get("commit") == commit) else None)
         if seed and prior.get("n_clean", 0) >= args.clean_runs:
             print(f"local[{cpus}]: already {prior['n_clean']} clean runs "
-                  f"at {commit} — skipping", flush=True)
+                  f"at engine {fp} — skipping", flush=True)
             continue
         r = measure_level(args.sf_dir, cpus, shuffle, args.runs,
                           args.steal_thr, args.clean_runs, args.max_tries,
                           seed_walls=seed)
         r["commit"] = commit
+        r["engine_fp"] = fp
         store.setdefault(sf, {})[str(cpus)] = r
         print(f"local[{cpus}] min-clean={r['wall_s']}s "
               f"{r['docs_per_sec']:.1f} docs/s ({r['n_clean']} clean runs, "
