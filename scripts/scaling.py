@@ -80,23 +80,37 @@ def run_bench(sf_dir: str, cpus: int, shuffle: int, repeat: int) -> dict:
 
 def measure_level(sf_dir: str, cpus: int, shuffle: int, runs: int,
                   steal_thr: float, clean_runs: int, max_tries: int,
-                  seed_walls: list | None = None) -> dict:
+                  seed_walls: list | None = None,
+                  on_try=None, docs: int | None = None) -> dict:
     """collect per-run (wall, steal%%) for one parallelism level, dropping
     each process's run 0 (JIT warmup); retry until >= clean_runs runs with
     steal <= steal_thr or max_tries bench processes have run.
 
     ``seed_walls``: prior runs of the SAME engine commit (from the store)
     — lets a level accumulate clean runs across invocations, so each
-    invocation stays under the sandbox's ~20-min process killer."""
+    invocation stays under the sandbox's ~20-min process killer.
+
+    ``on_try``: optional callback invoked with the partial result dict
+    after every bench process — lets the caller persist accumulated runs
+    so a later killed try (the sandbox's ~20-min process killer SIGKILLs
+    long bench processes) doesn't discard the runs already measured.  A
+    killed/failed bench process counts as a (dirty) try instead of
+    crashing the whole level."""
     walls: list[tuple[float, float | None]] = [
         tuple(w) for w in (seed_walls or [])]
     tries = 0
+    r = None
     while tries < max_tries:
         tries += 1
         # runs=0 → single COLD run per try (counted, JIT included): the
         # conservative protocol for the sf1 tier, where a warmup run at
         # local[2] alone costs ~12 min of wall clock
-        r = run_bench(sf_dir, cpus, shuffle, max(runs + 1, 1))
+        try:
+            r = run_bench(sf_dir, cpus, shuffle, max(runs + 1, 1))
+        except RuntimeError as exc:
+            print(f"local[{cpus}] try {tries}: bench process died "
+                  f"({exc}) — counting as a dirty try", flush=True)
+            continue
         tail = list(zip(r["runs"], r.get("steal_pct") or [None] * len(r["runs"])))
         if runs > 0:
             tail = tail[1:]
@@ -104,14 +118,28 @@ def measure_level(sf_dir: str, cpus: int, shuffle: int, runs: int,
         clean = [w for w, s in walls if s is not None and s <= steal_thr]
         print(f"local[{cpus}] try {tries}: runs={[w for w, _ in tail]} "
               f"steal={[s for _, s in tail]} clean={len(clean)}", flush=True)
+        if on_try is not None and walls:
+            on_try(_level_result(walls, r, steal_thr, tries, shuffle, docs))
         if len(clean) >= clean_runs:
             break
+    if r is None and not walls:
+        raise RuntimeError(
+            f"local[{cpus}]: every bench try failed and no seed runs exist")
+    return _level_result(walls, r, steal_thr, tries, shuffle, docs)
+
+
+def _level_result(walls: list, r: dict | None, steal_thr: float,
+                  tries: int, shuffle: int,
+                  seed_docs: int | None = None) -> dict:
     clean = [w for w, s in walls if s is not None and s <= steal_thr]
     pool = clean if clean else [w for w, _ in walls]
-    return {"wall_s": min(pool), "docs": r["docs"],
-            "docs_per_sec": r["docs"] / min(pool),
-            "all_runs": walls, "n_clean": len(clean), "tries": tries,
-            "shuffle": shuffle}
+    docs = r["docs"] if r is not None else seed_docs
+    out = {"wall_s": min(pool), "all_runs": walls, "n_clean": len(clean),
+           "tries": tries, "shuffle": shuffle}
+    if docs is not None:
+        out["docs"] = docs
+        out["docs_per_sec"] = docs / min(pool)
+    return out
 
 
 def load_store() -> dict:
@@ -225,9 +253,17 @@ def main() -> None:
             print(f"local[{cpus}]: already {prior['n_clean']} clean runs "
                   f"at engine {fp} — skipping", flush=True)
             continue
+        def persist(partial: dict, _cpus=cpus) -> None:
+            partial["commit"] = commit
+            partial["engine_fp"] = fp
+            store.setdefault(sf, {})[str(_cpus)] = partial
+            with open(STORE, "w") as f:
+                json.dump(store, f, indent=1)
+
         r = measure_level(args.sf_dir, cpus, shuffle, args.runs,
                           args.steal_thr, args.clean_runs, args.max_tries,
-                          seed_walls=seed)
+                          seed_walls=seed, on_try=persist,
+                          docs=(prior or {}).get("docs"))
         r["commit"] = commit
         r["engine_fp"] = fp
         store.setdefault(sf, {})[str(cpus)] = r
