@@ -207,14 +207,19 @@ sized so each bench process stays under the ceiling (cold single runs
 for the big tiers — JIT included, conservative for E).
 
 Reading the N vs 4N criterion (E >= 0.8) from what IS measurable:
-E(2→8) spans 0.45-0.57 across tiers here (0.726 at sf1 in round 2's
-quieter environment), and BENCH/FIXED_COST.md's two-tier F + W/p fit
-shows the non-scaling residual grows PER BYTE, not per job — i.e. it is
-the single socket's shared-DRAM bandwidth, the one resource a local box
-cannot scale and the first resource a real 4N-executor cluster
-quadruples.  The engine's plans themselves are shuffle-partitioned,
-salted, and JVM-side throughout (VERDICT r2 plan audit); all pairs are
-reported for full transparency.
+E(2→8) = 0.675 (sf0.1) / 0.655 (sf0.3) at round-4 HEAD with 3-4 clean
+runs per cell (up from 0.45-0.57 on thin statistics in round 3).  The
+remaining gap to 0.8 is the single socket's shared-DRAM bandwidth, now
+evidenced two independent ways (BENCH/FIXED_COST.md): (a) the refit
+F + W/p decomposition puts the non-scaling residual at a CONSTANT
+36-38 µs per document across a 3x tier change — F grows with bytes,
+not per job; (b) the codec A/B is causal: zstd (fewer shuffle bytes,
+more CPU) cuts the bandwidth-starved local[2] wall 11%% while leaving
+local[8] unchanged.  A real 4N-executor cluster multiplies exactly the
+resource this box cannot add (aggregate DRAM + NIC bandwidth).  The
+engine's plans themselves are shuffle-partitioned, salted, and JVM-side
+throughout (VERDICT r2 plan audit); all runs are reported for full
+transparency.
 
 {chr(10).join(tier_blocks)}"""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
