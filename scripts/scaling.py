@@ -193,8 +193,8 @@ Round-3 environment note: the sandbox VM has an intermittently noisy
 co-tenant (CPU steal bursts to ~26% of total; wall-time inflation up to
 ~2x — the round-2 engine re-benched side-by-side in this environment
 runs 150-197s at local[32]/sf0.1 vs its recorded 29.1s).  Each run
-carries a measured steal%% (bench.py samples /proc/stat around the timed
-region); runs with steal > 3%% are discarded and the reported wall is
+carries a measured steal% (bench.py samples /proc/stat around the timed
+region); runs with steal > 3% are discarded and the reported wall is
 the MINIMUM over clean runs — steal only adds time, so min-of-clean is
 the least-polluted estimate.  Raw per-run data: BENCH/scaling_results.json.
 
@@ -214,7 +214,7 @@ evidenced two independent ways (BENCH/FIXED_COST.md): (a) the refit
 F + W/p decomposition puts the non-scaling residual at a CONSTANT
 36-38 µs per document across a 3x tier change — F grows with bytes,
 not per job; (b) the codec A/B is causal: zstd (fewer shuffle bytes,
-more CPU) cuts the bandwidth-starved local[2] wall 11%% while leaving
+more CPU) cuts the bandwidth-starved local[2] wall 11% while leaving
 local[8] unchanged.  A real 4N-executor cluster multiplies exactly the
 resource this box cannot add (aggregate DRAM + NIC bandwidth).  The
 engine's plans themselves are shuffle-partitioned, salted, and JVM-side
