@@ -201,21 +201,27 @@ the least-polluted estimate.  Raw per-run data: BENCH/scaling_results.json.
 A second environment constraint surfaced in round 3: an external
 process killer terminates any single process after ~20 min (three sf1
 bench deaths with the python process killed mid-shuffle, no traceback;
-the surviving runs all finished under ~20 min).  sf1/local[2] (~35 min
-cold) is therefore UNMEASURABLE in this sandbox; tiers and levels are
-sized so each bench process stays under the ceiling (cold single runs
-for the big tiers — JIT included, conservative for E).
+the surviving runs all finished under ~20 min).  sf1/local[2]
+(projected ~20-22 min cold even at the 1.9-2.1x-faster round-4 engine)
+remains UNMEASURABLE in this sandbox; tiers and levels are sized so
+each bench process stays under the ceiling (cold single runs for the
+big tiers — JIT included, conservative for E).  The (4,16) core pair
+is the N vs 4N contrast that fits under the killer at EVERY tier,
+including sf1.
 
 Reading the N vs 4N criterion (E >= 0.8) from what IS measurable:
-E(2→8) = 0.675 (sf0.1) / 0.655 (sf0.3) at round-4 HEAD with 3-4 clean
-runs per cell (up from 0.45-0.57 on thin statistics in round 3).  The
-remaining gap to 0.8 is the single socket's shared-DRAM bandwidth, now
-evidenced two independent ways (BENCH/FIXED_COST.md): (a) the refit
-F + W/p decomposition puts the non-scaling residual at a CONSTANT
-36-38 µs per document across a 3x tier change — F grows with bytes,
-not per job; (b) the codec A/B is causal: zstd (fewer shuffle bytes,
-more CPU) cuts the bandwidth-starved local[2] wall 11% while leaving
-local[8] unchanged.  A real 4N-executor cluster multiplies exactly the
+E(2→8) = 0.675 (sf0.1) / 0.655 (sf0.3) and E(4→16) = 0.43-0.47 at all
+three tiers, at round-4 HEAD with 3-4 clean runs per cell (up from
+thin n_clean=1 statistics in round 3).  The remaining gap to 0.8 is
+the single socket's shared-DRAM bandwidth, now evidenced two
+independent ways (BENCH/FIXED_COST.md): (a) the refit F + W/p
+decomposition puts the non-scaling residual at a flat 36-62 µs per
+document across a 7.5x input range — F grows with bytes, not per job;
+(b) the codec A/B is causal and flips sign exactly where the byte
+path saturates: zstd (fewer shuffle bytes, more CPU) is -11% at
+sf0.1/local[2] and -16% at sf1/local[16] — where it beats lz4's
+local[32] wall with half the cores — but +7% at core-starved
+sf1/local[4].  A real 4N-executor cluster multiplies exactly the
 resource this box cannot add (aggregate DRAM + NIC bandwidth).  The
 engine's plans themselves are shuffle-partitioned, salted, and JVM-side
 throughout (VERDICT r2 plan audit); all runs are reported for full
