@@ -213,25 +213,35 @@ Reading the N vs 4N criterion (E >= 0.8) from what IS measurable:
 E(2→8) = 0.675 (sf0.1) / 0.655 (sf0.3) and E(4→16) = 0.43-0.47 at all
 three tiers, at round-4 HEAD with 3-4 clean runs per cell (up from
 thin n_clean=1 statistics in round 3).  The remaining gap to 0.8 is
-the single socket's shared-DRAM bandwidth, now evidenced three
-independent ways (BENCH/FIXED_COST.md): (a) the refit F + W/p
-decomposition puts the non-scaling residual at a flat 36-62 µs per
-document across a 7.5x input range — F grows with bytes, not per job;
-(b) the codec A/B is causal and flips sign exactly where the byte
+single-NODE shared micro-resources, evidenced four independent ways
+(BENCH/FIXED_COST.md, esp. §'Revised attribution'): (a) the refit
+F + W/p decomposition puts the non-scaling residual at a flat 36-62 µs
+per document across a 7.5x input range — F grows with bytes, not per
+job; (b) the codec A/B is causal and flips sign exactly where the byte
 path saturates: zstd (fewer shuffle bytes, more CPU) is -11% at
 sf0.1/local[2] and -16% at sf1/local[16] — where it beats lz4's
 local[32] wall with half the cores — but +7% at core-starved
 sf1/local[4] — and an sf0.3 run registered in advance as a prediction
 test confirmed the mechanism (+15% penalty at local[4] where cores are
-scarcest, a wash at local[16] where 0.3x the bytes no longer saturate
-DRAM), making the codec effect monotone in shuffle-byte pressure
-across all six cells; (c) a disjoint-core interference A/B
+scarcest, a wash at local[16] where 0.3x the bytes no longer bind),
+making the codec effect monotone in shuffle-byte pressure across all
+six cells; (c) a disjoint-core interference A/B
 (BENCH/interference_ab.json): with the bench pinned to cores 0-3, a
 DRAM-streaming co-runner on cores 8-11 costs +22% wall where a
 pure-compute spinner at identical core occupancy costs +10% — the
 +11% differential is memory-subsystem contention alone, on cores the
-bench never touches.  A real 4N-executor cluster multiplies exactly the
-resource this box cannot add (aggregate DRAM + NIC bandwidth).  The
+bench never touches; (d) direct ceiling measurement (BENCH/MEMBW.md +
+iobw.json): raw DRAM throughput is NOT exhausted (copy bandwidth
+scales near-linearly to ~200 GiB/s at 16 workers, E_bw(4→16) = 0.84),
+and the sf1 miss instead factors exactly as E(4→16) = U × P =
+0.656 × 0.642 — thread-budget utilization shortfall (11.2 of 16 cores
+busy; barrier/straggler tails that amortize when splits ≫ cores) times
+per-busy-core productivity loss (memory-subsystem *latency* contention,
+the +10.6% differential of (c)) — plus write bursts on a storage
+device that peaks ~490 MiB/s at 4 writers and FALLS to ~330 at 16.
+Every component is per-node; a real 4N-executor cluster multiplies
+exactly the resources this box cannot add (sockets, disks, aggregate
+DRAM + NIC bandwidth) and production split counts drive U → 1.  The
 engine's plans themselves are shuffle-partitioned, salted, and JVM-side
 throughout (VERDICT r2 plan audit); all runs are reported for full
 transparency.
@@ -253,7 +263,15 @@ def main() -> None:
                     help="max per-run steal%% for a run to count as clean")
     ap.add_argument("--clean-runs", type=int, default=2)
     ap.add_argument("--max-tries", type=int, default=3)
+    ap.add_argument("--regen", action="store_true",
+                    help="regenerate BENCH/BASELINE.md from the stored "
+                         "results without running anything")
     args = ap.parse_args()
+
+    if args.regen:
+        write_baseline(load_store())
+        print("BENCH/BASELINE.md regenerated from store")
+        return
 
     sf = os.path.basename(os.path.normpath(args.sf_dir))
     commit = subprocess.run(
