@@ -240,12 +240,16 @@ per-busy-core productivity loss (memory-subsystem *latency* contention,
 the +10.6% differential of (c)) — plus write bursts on a storage
 device that peaks ~490 MiB/s at 4 writers and FALLS to ~330 at 16.
 The U × P reading was then itself put to a registered prediction test
-(FIXED_COST.md §3b, predictions committed before measuring): at
-sf0.3's (4,16) pair all three predicted signs came out as registered
-(U 0.632 < 0.656, P 0.653 > 0.642, product 0.413 ≈ 0.43), and the
-thread-budget fill falls monotonically with the budget — busy/p =
-1.07 (p=4) → 0.80 (8) → 0.70 (16) → 0.52 (32) — the structural
-utilization starvation the model asserts at sandbox split counts.
+(FIXED_COST.md §3b, predictions committed before measuring, then
+replicated to 2-3 clean tries per cell): the level-direction
+prediction is CONFIRMED with full separation — U(8,32) = 0.566
+[0.539, 0.588] entirely below U(4,16) = 0.656, with thread-budget
+fill near-full through p=8 (0.94-1.07) then cliffing to 0.68-0.73 at
+p=16 and 0.52-0.55 at p=32, the same shape as the E ordering above —
+while the tier-direction prediction was REFUTED by replication (the
+across-tier U/P split moves like per-job fixed CPU, not
+byte-contention) and is withdrawn: the per-byte component of the
+attribution rests on the causal codec and disjoint-core A/Bs.
 Every component is per-node; a real 4N-executor cluster multiplies
 exactly the resources this box cannot add (sockets, disks, aggregate
 DRAM + NIC bandwidth) and production split counts drive U → 1.  The

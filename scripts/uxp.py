@@ -60,6 +60,34 @@ def main() -> None:
               f"| {bl/pl:.2f} | {bh/ph:.2f} "
               f"| {lo['n_clean']}/{hi['n_clean']} |")
     print()
+    print("all clean-try combinations per pair (mean [min,max]):")
+    import statistics as st
+    raw: dict[tuple, list] = {}
+    store = json.load(open(os.path.join(REPO, "BENCH", "iobw.json")))
+    for e in store["bench_io"]:
+        if e.get("busy_cores_avg") is None:
+            continue
+        if max(e.get("bench_steal_pct") or [99.0]) > STEAL_CLEAN:
+            continue
+        key = (e["sf_dir"].rstrip("/").split("/")[-1], e["cpus"])
+        raw.setdefault(key, []).append(
+            (min(e["bench_runs_s"]), e["busy_cores_avg"]))
+    for sf, pl, ph in pairs:
+        lo, hi = raw.get((sf, pl)), raw.get((sf, ph))
+        if not lo or not hi:
+            continue
+        es, us, ps = [], [], []
+        for Tl, bl in lo:
+            for Th, bh in hi:
+                es.append(Tl / Th / (ph / pl))
+                us.append((bh / ph) / (bl / pl))
+                ps.append((Tl * bl) / (Th * bh))
+        print(f"  {sf} ({pl},{ph}): "
+              f"E {st.mean(es):.3f} [{min(es):.3f},{max(es):.3f}]  "
+              f"U {st.mean(us):.3f} [{min(us):.3f},{max(us):.3f}]  "
+              f"P {st.mean(ps):.3f} [{min(ps):.3f},{max(ps):.3f}]  "
+              f"(n={len(es)} combos)")
+    print()
     print("fill by budget (min-of-clean cells):")
     for (sf, p), v in sorted(c.items()):
         e = v["cell"]
