@@ -252,8 +252,19 @@ p=16 and 0.52-0.55 at p=32, the same shape as the E ordering above
 (and the fastest clean unpinned local[16] run, 323.2 s, beats the
 store's pinned local[32] min, 347.7 s — past 16 threads this box
 only dilutes fill) — while the tier-direction prediction was REFUTED
-by replication and is withdrawn: the per-byte component of the
-attribution rests on the causal codec and disjoint-core A/Bs.
+by replication at its registered 3x contrast and is withdrawn: the
+per-byte component of the attribution rests on the causal codec and
+disjoint-core A/Bs.  A third instrumented tier (sf0.1, 12 cells all
+clean — FIXED_COST.md §3c) then resolved what the 3x contrast could
+not: U(4,16) = 0.526 [0.512, 0.544] at sf0.1, fully separated below
+0.68-0.69 at sf0.3/sf1 — utilization RISES toward 1 with input size
+at fixed parallelism, which is the production splits ≫ cores
+argument measured directly; P orders by budget level (0.92 at (2,8)
+→ 0.78 at (4,16) → 0.67 at (8,32)), the same self-contention the
+disjoint-core A/B demonstrated; and the p=2 cells run at busy/p =
+1.33 (JVM service threads beyond the worker budget), so part of the
+E(2→8) miss against the nominal 4x ratio is denominator bookkeeping
+— against effective capacity the (2,8) pair is ~0.91 efficient.
 Every component is per-node; a real 4N-executor cluster multiplies
 exactly the resources this box cannot add (sockets, disks, aggregate
 DRAM + NIC bandwidth) and production split counts drive U → 1.  The

@@ -42,7 +42,8 @@ def cells() -> dict:
 
 def main() -> None:
     c = cells()
-    pairs = [("sf1", 4, 16), ("sf0.3", 4, 16), ("sf1", 8, 32)]
+    pairs = [("sf1", 4, 16), ("sf0.3", 4, 16), ("sf0.1", 4, 16),
+             ("sf1", 8, 32), ("sf0.1", 2, 8)]
     print("| pair | T_low | busy_low | T_high | busy_high | E | U | P "
           "| fill_low | fill_high | n_clean (lo/hi) |")
     print("|---|---|---|---|---|---|---|---|---|---|---|")
