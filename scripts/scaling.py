@@ -245,10 +245,10 @@ steal-invisible environment noise concentrates.  The U × P reading
 was then itself put to a registered prediction test (FIXED_COST.md
 §3b, predictions committed before measuring, then replicated to 2-3
 clean tries per cell): the level-direction prediction is CONFIRMED
-with interval-level separation — U(8,32) = 0.566 [0.539, 0.588]
+with interval-level separation — U(8,32) = 0.578 [0.539, 0.615]
 entirely below U(4,16) = 0.690 [0.656, 0.714], with thread-budget
-fill near-full through p=8 (0.94-1.07) then cliffing to 0.68-0.72 at
-p=16 and 0.52-0.55 at p=32, the same shape as the E ordering above
+fill monotone in the budget at every tier (sf1: 1.03 → 0.90-0.97 →
+0.72 → 0.55 at p=4/8/16/32), the same shape as the E ordering above
 (and the fastest clean unpinned local[16] run, 323.2 s, beats the
 store's pinned local[32] min, 347.7 s — past 16 threads this box
 only dilutes fill) — while the tier-direction prediction was REFUTED
@@ -257,11 +257,11 @@ per-byte component of the attribution rests on the causal codec and
 disjoint-core A/Bs.  A third instrumented tier (sf0.1, 12 cells all
 clean — FIXED_COST.md §3c) then resolved what the 3x contrast could
 not: U(4,16) = 0.526 [0.512, 0.544] at sf0.1, fully separated below
-0.68-0.69 at sf0.3/sf1 — utilization RISES toward 1 with input size
+0.66-0.69 at sf0.3/sf1 — utilization RISES toward 1 with input size
 at fixed parallelism, which is the production splits ≫ cores
-argument measured directly; P orders by budget level (0.92 at (2,8)
-→ 0.78 at (4,16) → 0.67 at (8,32)), the same self-contention the
-disjoint-core A/B demonstrated; and the p=2 cells run at busy/p =
+argument measured directly; P orders by budget level (mean 0.92 at
+(2,8) → 0.74-0.78 at (4,16) → 0.62 at (8,32)), the same
+self-contention the disjoint-core A/B demonstrated; and the p=2 cells run at busy/p =
 1.33 (JVM service threads beyond the worker budget), so part of the
 E(2→8) miss against the nominal 4x ratio is denominator bookkeeping
 — against effective capacity the (2,8) pair is ~0.91 efficient.
