@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Incremental fold cost vs full re-resolution — the daily-increment story.
+
+The 100-TB operating mode for this engine is a large resolved corpus
+absorbing small document increments.  `operators/incremental.py` folds
+an increment without re-joining old×old blocks (Δ keys broadcast-probe
+the combined key table; only touched components re-cluster).  This
+script measures what that buys at sf0.1 (600,332 docs): bootstrap the
+state on a hash-split 99%, then time fold(1%) against the full-batch
+re-resolution of 100%.
+
+Per-phase CPU steal is sampled from /proc/stat (same protocol as
+bench.py); run on an idle box and prefer the min over repeats.
+Results -> BENCH/incremental_bench.json.
+
+Usage: python scripts/incremental_bench.py [--corpus PATH] [--cpus N]
+       [--repeats 2]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def steal() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:]]
+    return (v[7] if len(v) > 7 else 0), sum(v)
+
+
+def timed(fn) -> tuple[float, float]:
+    s0, t0 = steal(), time.time()
+    fn()
+    wall = time.time() - t0
+    s1 = steal()
+    pct = 100.0 * (s1[0] - s0[0]) / max(1, s1[1] - s0[1])
+    return round(wall, 2), round(pct, 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default=os.path.join(
+        REPO, ".cache", "sf0.1", "docs_spans.parquet"))
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--delta-pct", type=int, default=1)
+    args = ap.parse_args()
+
+    from zentity_spark.model import Model
+    from zentity_spark.operators.incremental import IncrementalResolver
+    from zentity_spark.pipeline import ResolutionJob
+    from zentity_spark.session import get_spark
+
+    spark = get_spark(f"local[{args.cpus}]",
+                      extra={"spark.sql.shuffle.partitions":
+                             str(4 * args.cpus)})
+    model = Model.parse(open(os.path.join(
+        REPO, "fixtures", "model_person.json")).read())
+    docs = spark.read.parquet(args.corpus)
+    cut = 100 - args.delta_pct
+    base = docs.where(f"pmod(xxhash64(doc_id), 100) < {cut}")
+    delta = docs.where(f"pmod(xxhash64(doc_id), 100) >= {cut}")
+    n_base, n_delta = base.count(), delta.count()
+
+    runs = []
+    for rep in range(args.repeats):
+        state = tempfile.mkdtemp(prefix="incbench_")
+        r = IncrementalResolver(spark, model, state)
+        boot_w, boot_s = timed(lambda: r.add(base))
+        fold_w, fold_s = timed(lambda: r.add(delta))
+        inc_n = r.clusters().count()
+
+        job = ResolutionJob(spark, docs, model)
+        batch_w, batch_s = timed(lambda: job.clusters().count())
+        job.unpersist()
+        shutil.rmtree(state, ignore_errors=True)
+        runs.append({
+            "repeat": rep, "bootstrap_s": boot_w, "bootstrap_steal": boot_s,
+            "fold_s": fold_w, "fold_steal": fold_s,
+            "batch_s": batch_w, "batch_steal": batch_s,
+            "fold_over_batch": round(fold_w / batch_w, 4),
+            "clusters_rows": inc_n,
+        })
+        print(json.dumps(runs[-1]), flush=True)
+
+    best = min(runs, key=lambda r: r["fold_s"] + r["batch_s"])
+    out = {
+        "corpus": args.corpus, "cpus": args.cpus,
+        "docs_base": n_base, "docs_delta": n_delta,
+        "delta_pct": args.delta_pct, "runs": runs,
+        "headline": {
+            "fold_s": best["fold_s"], "batch_s": best["batch_s"],
+            "fold_over_batch": best["fold_over_batch"],
+        },
+    }
+    store_path = os.path.join(REPO, "BENCH", "incremental_bench.json")
+    store = {}
+    if os.path.exists(store_path):
+        with open(store_path) as f:
+            prev = json.load(f)
+        # tolerate the pre-accumulating single-run layout
+        store = prev if "runs" not in prev else {prev["corpus"]: prev}
+    key = os.path.basename(os.path.dirname(args.corpus)) or args.corpus
+    if key in store:
+        store[key]["runs"].extend(runs)
+    else:
+        store[key] = out
+    best_all = min(store[key]["runs"],
+                   key=lambda r: r["fold_s"] + r["batch_s"])
+    store[key]["headline"] = {
+        "fold_s": best_all["fold_s"], "batch_s": best_all["batch_s"],
+        "fold_over_batch": best_all["fold_over_batch"],
+    }
+    with open(store_path, "w") as f:
+        json.dump(store, f, indent=1)
+    print(json.dumps(store[key]["headline"]))
+
+
+if __name__ == "__main__":
+    main()
