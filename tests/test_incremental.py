@@ -91,16 +91,87 @@ def test_three_way_fold(spark, model, docs_sf0001, tmp_path):
     job.unpersist()
 
 
+def _inc_dirs(r):
+    root = r._path("labels")
+    return sorted((d for d in os.listdir(root) if d.startswith("inc=")),
+                  key=lambda d: int(d.split("=")[1]))
+
+
+def _chain_corpus(spark):
+    """bootstrap: an Alicia pair + an untouched Carol pair; two one-doc
+    increments that each extend the Alicia component."""
+    base = make_docs(spark, [
+        ("a-000001", [("full_name", "Alicia Keys"),
+                      ("birth_date", "1981-01-25")]),
+        ("b-000001", [("full_name", "Alicia Keys"),
+                      ("birth_date", "1981-01-25")]),
+        ("a-000007", [("full_name", "Carol Chan"),
+                      ("birth_date", "1970-02-02")]),
+        ("a-000008", [("full_name", "Carol Chan"),
+                      ("birth_date", "1970-02-02")]),
+    ])
+    d1 = make_docs(spark, [
+        ("a-000002", [("full_name", "Alicia Keys"),
+                      ("birth_date", "1981-01-25")])])
+    d2 = make_docs(spark, [
+        ("a-000003", [("full_name", "Alicia Keys"),
+                      ("birth_date", "1981-01-25")])])
+    return base, d1, d2
+
+
+def test_fold_commits_only_relabeled_components(spark, model, tmp_path):
+    """the labels table is delta-partitioned: a fold WRITES only the
+    touched components (O(Δ), not O(N)); untouched components are served
+    from older incs by the latest-wins view."""
+    base, d1, d2 = _chain_corpus(spark)
+    r = IncrementalResolver(spark, model, str(tmp_path / "st"),
+                            auto_compact_ratio=None)
+    r.add(base)
+    r.add(d1)
+    r.add(d2)
+    assert _inc_dirs(r) == ["inc=0", "inc=1", "inc=2"]
+    ids = lambda fold: {x["doc_id"] for x in r.storage.read(
+        r._part("labels", fold)).select("doc_id").collect()}
+    # each fold rewrote ONLY the Alicia component, never Carol's
+    assert ids(1) == {"a-000001", "b-000001", "a-000002"}
+    assert ids(2) == {"a-000001", "b-000001", "a-000002", "a-000003"}
+    lab = dict(_labels(r.labels()))
+    assert lab["a-000007"] == lab["a-000008"]  # served from inc=0
+    job = ResolutionJob(spark, base.unionByName(d1).unionByName(d2), model)
+    assert _labels(r.clusters()) == _labels(job.clusters())
+    job.unpersist()
+
+
+def test_label_auto_compaction(spark, model, tmp_path):
+    """ratio-gated compaction folds the view into one inc and drops the
+    older partitions, with the served labels unchanged."""
+    base, d1, d2 = _chain_corpus(spark)
+    r = IncrementalResolver(spark, model, str(tmp_path / "st"),
+                            auto_compact_ratio=0.5)
+    r.add(base)          # bootstrap compacts by definition: base_rows=4
+    r.add(d1)            # delta 3 rows > 0.5×4 → compact into inc=1
+    assert _inc_dirs(r) == ["inc=1"]
+    r.add(d2)            # delta 4 rows > 0.5×5 → compact into inc=2
+    assert _inc_dirs(r) == ["inc=2"]
+    job = ResolutionJob(spark, base.unionByName(d1).unionByName(d2), model)
+    assert _labels(r.clusters()) == _labels(job.clusters())
+    job.unpersist()
+
+
 def test_stream_resolve_folds_backlog(spark, model, tmp_path):
     """two landing files drained with availableNow == one batch resolve."""
     from zentity_spark.streaming.resolve import stream_resolve
     spec1 = [
-        ("a-000001", [("name", "Alicia Keys"), ("dob", "1981-01-25")]),
-        ("b-000001", [("full_name", "Alicia Keys"), ("birth_date", "1981-01-25")]),
+        ("a-000001", [("full_name", "Alicia Keys"),
+                      ("birth_date", "1981-01-25")]),
+        ("b-000001", [("full_name", "Alicia Keys"),
+                      ("birth_date", "1981-01-25")]),
     ]
     spec2 = [
-        ("a-000002", [("name", "Alicia Keys"), ("dob", "1981-01-27")]),
-        ("c-000009", [("name", "Nobody Here"), ("dob", "1999-09-09")]),
+        ("a-000002", [("full_name", "Alicia Keys"),
+                      ("birth_date", "1981-01-27")]),
+        ("c-000009", [("full_name", "Nobody Here"),
+                      ("birth_date", "1999-09-09")]),
     ]
     landing = str(tmp_path / "landing")
     os.makedirs(landing)

@@ -35,17 +35,33 @@ State layout under ``state_dir``:
                    per-doc stage rows per increment
     edges/inc=<fold_id>/  verified match edges (full edge log ⇒ the
                    labels can always be rebuilt from scratch)
-    labels_<n>/    current labels (versioned; CURRENT points at the live one)
-    CURRENT        json pointer {"labels": path, "n_batches": k, "fold_id": i}
+    labels/inc=<fold_id>/ ONLY the components relabeled by that fold
+                   (bootstrap writes the full label set); the current
+                   label of a doc is its row at the HIGHEST committed
+                   inc — latest-writer-wins per doc_id
+    CURRENT        json pointer {"fold_id": i, "n_batches": k,
+                                 "base_rows": b, "delta_rows": d}
+
+Every state table is delta-partitioned, so a fold WRITES O(Δ + touched
+components), never O(N) — the labels/seen-ids full rewrite that used to
+dominate fold cost at large N (BENCH/incremental_bench.json r4) is gone.
+Docs not yet visible in any committed label inc (``inc > CURRENT.fold_id``)
+ARE the next fold's Δ, which both removes the separate seen-id table and
+self-heals increments orphaned by a crash.  Read amplification is bounded
+by ratio-gated compaction (``auto_compact_ratio``): when the cumulative
+delta rows exceed the ratio × the last compacted base, the commit writes
+the full current view instead of the delta and drops older incs —
+amortized O(1) extra write per label row, LSM-style.
 
 Exactly-once folds (ADVICE r3 medium): every per-increment write goes to a
 deterministic ``inc=<fold_id>`` subdirectory in OVERWRITE mode, so a
 replayed fold (Structured Streaming retries a micro-batch after a
 mid-fold crash, with the same batch_id and the same rows) replaces its
-own partial output instead of appending duplicates; ``labels_<n>`` and
-``seen_ids`` are likewise overwrite-idempotent, and CURRENT commits via
-atomic rename.  A fold that already committed is skipped entirely by the
-caller via ``committed_fold_id()`` (streaming/resolve.py).
+own partial output instead of appending duplicates; labels written at an
+uncommitted inc are invisible to readers (the view filters
+``inc <= CURRENT.fold_id``), and CURRENT commits via atomic rename.  A
+fold that already committed is skipped entirely by the caller via
+``committed_fold_id()`` (streaming/resolve.py).
 """
 
 from __future__ import annotations
@@ -74,12 +90,16 @@ class IncrementalResolver:
 
     def __init__(self, spark: SparkSession, model: Model, state_dir: str,
                  scope: Scope | None = None, block_cap: int = 1000,
-                 storage: Storage | None = None):
+                 storage: Storage | None = None,
+                 auto_compact_ratio: float = 4.0):
         self.spark = spark
         self.storage = storage if storage is not None else Storage(spark)
         self.model = model
         self.scope = scope if scope is not None else DEFAULT_SCOPE
         self.block_cap = block_cap
+        # compact the labels table when cumulative delta rows exceed
+        # ratio × the last compacted base (None/0 disables auto-compaction)
+        self.auto_compact_ratio = auto_compact_ratio
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
         self._ptr = os.path.join(state_dir, "CURRENT")
@@ -122,11 +142,19 @@ class IncrementalResolver:
 
     def labels(self) -> DataFrame:
         """current (doc_id, entity_id) for edge-bearing docs (singletons are
-        implicit, as in ResolutionJob.clusters)."""
+        implicit, as in ResolutionJob.clusters).  The table is
+        delta-partitioned by fold: a doc's live label is its row at the
+        highest COMMITTED inc (relabeled components re-emit every member,
+        so latest-writer-wins per doc_id is exact), and rows at
+        uncommitted incs — a fold that crashed before its CURRENT rename —
+        are filtered out."""
         cur = self._current()
         if cur is None:
             raise ValueError("no increments folded yet")
-        return self.storage.read(cur["labels"])
+        lab = (self.storage.read(self._path("labels"))
+               .where(F.col("inc") <= cur["fold_id"]))
+        return (lab.groupBy("doc_id")
+                .agg(F.max_by("entity_id", "inc").alias("entity_id")))
 
     def clusters(self) -> DataFrame:
         """(doc_id, entity_id, spans) for every ingested doc — singletons
@@ -195,23 +223,22 @@ class IncrementalResolver:
         edges = self.storage.read(self._path("edges"))
         labels = connected_components_by_hash(
             edges.select("doc_id_a", "doc_id_b"))
-        return self._commit(labels, fold_id)
+        return self._commit(labels, fold_id, compact=True)
 
     def _fold_delta(self, fold_id: int) -> DataFrame:
         spark = self.spark
         cur = self._current()
         docs_all = self.docs()
-        # Δ = docs not yet labeled AND not singleton at the last fold:
-        # cheaper and exact — docs whose stage rows aren't in the state yet,
-        # i.e. everything in docs/ minus what attrs/keys saw.  doc_ids are
-        # unique, so "new" = docs_all ∖ docs seen at the previous fold;
-        # track via the per-stage row origin: keys_x holds every previously
-        # folded doc that produced a key, but attribute-less docs produce
-        # none, so persist the seen-id set explicitly instead.
-        seen = self.storage.read(self._path("seen_ids")) \
-            if self.storage.exists(self._path("seen_ids")) else None
-        new_docs = (docs_all.join(seen, "doc_id", "left_anti")
-                    if seen is not None else docs_all)
+        # Δ = every doc landed SINCE the last committed fold: the docs
+        # table is inc-partitioned, so ``inc > committed`` is exactly the
+        # set no committed label state has seen — the current increment
+        # plus any increment a crashed fold orphaned (self-healing; the
+        # old seen-id table tracked the same set with an O(N) rewrite per
+        # fold).  doc_ids are globally unique across increments (streaming
+        # ingest dedups on doc_id before the sink).
+        new_docs = (self.storage.read(self._path("docs"))
+                    .where(F.col("inc") > cur["fold_id"])
+                    .select("doc_id", "spans"))
 
         # 1. Δ per-doc stage rows appended
         dj = ResolutionJob(spark, new_docs, self.model, self.scope,
@@ -257,37 +284,72 @@ class IncrementalResolver:
         d_edges = d_edges.localCheckpoint()
         self.last_delta_edges = d_edges.count()
 
-        # 5. merge: re-cluster touched components only
-        old = self.storage.read(cur["labels"])
+        # 5. merge: re-cluster touched components only.  The fold COMMITS
+        # only the relabeled components (every member of a touched
+        # component re-appears in the CC output, star edges ≡ old
+        # connectivity); untouched labels survive at their older incs —
+        # no O(N) label rewrite.
+        old = self.labels().localCheckpoint()
         d_nodes = (d_edges.select(F.col("doc_id_a").alias("doc_id"))
                    .union(d_edges.select("doc_id_b")).distinct())
         touched = (old.join(F.broadcast(d_nodes), "doc_id", "semi")
                    .select("entity_id").distinct().localCheckpoint())
-        untouched = old.join(F.broadcast(touched), "entity_id", "left_anti")
         star = (old.join(F.broadcast(touched), "entity_id", "semi")
                 .where(F.col("doc_id") != F.col("entity_id"))
                 .select(F.col("doc_id").alias("doc_id_a"),
                         F.col("entity_id").alias("doc_id_b")))
         relabeled = connected_components_by_hash(
             star.union(d_edges.select("doc_id_a", "doc_id_b")))
-        labels = untouched.unionByName(relabeled)
         job.unpersist()
-        return self._commit(labels, fold_id)
+        return self._commit(relabeled, fold_id)
 
-    def _commit(self, labels: DataFrame, fold_id: int) -> DataFrame:
+    def _commit(self, delta_labels: DataFrame, fold_id: int,
+                compact: bool = False) -> DataFrame:
+        """commit one fold's label delta at ``labels/inc=<fold_id>``.
+
+        Deterministic under replay: the delta is a pure function of the
+        committed state + the increment's rows, and the partition write is
+        an overwrite — a crashed-then-replayed fold converges to the same
+        bytes.  Compaction (bootstrap, or when the cumulative deltas
+        exceed ``auto_compact_ratio`` × the compacted base) folds the full
+        current view into THIS inc and drops the older incs after the
+        pointer rename — a crash between rename and removal leaves only
+        rows that the latest-wins view already supersedes."""
         cur = self._current()
         n = (cur["n_batches"] + 1) if cur else 1
-        path = self._path(f"labels_{n}")
-        self.storage.write(labels.select("doc_id", "entity_id"), path)
-        # the seen-id set makes the NEXT fold's Δ detection exact even for
-        # docs that produce no attributes/keys; atomic replace so a crash
-        # mid-write can't leave a half-readable seen set
-        self.storage.overwrite_atomic(
-            self.docs().select("doc_id"), self._path("seen_ids"))
+        delta_labels = delta_labels.select("doc_id",
+                                           "entity_id").localCheckpoint()
+        d_rows = delta_labels.count()
+        base_rows = cur.get("base_rows", 0) if cur else 0
+        delta_rows = (cur.get("delta_rows", 0) if cur else 0) + d_rows
+        ratio = self.auto_compact_ratio or 0
+        if cur and ratio and base_rows and delta_rows > ratio * base_rows:
+            compact = True
+        drop_incs: list[str] = []
+        if compact:
+            if cur:  # full view = older committed incs ⊕ this delta
+                older = (self.labels()
+                         .join(delta_labels, "doc_id", "left_anti"))
+                delta_labels = older.unionByName(delta_labels)
+                root = self._path("labels")
+                if self.storage.file_based:
+                    drop_incs = [os.path.join(root, d)
+                                 for d in os.listdir(root)
+                                 if d.startswith("inc=")
+                                 and int(d.split("=")[1]) != fold_id]
+                # catalog formats: superseded rows are harmless (the
+                # latest-wins view ignores them); snapshot expiry is the
+                # catalog's job
+            base_rows, delta_rows = None, 0  # recount below
+        self.storage.write(delta_labels, self._part("labels", fold_id))
+        if base_rows is None:
+            base_rows = self.storage.read(
+                self._part("labels", fold_id)).count()
         tmp = self._ptr + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"labels": path, "n_batches": n, "fold_id": fold_id}, f)
+            json.dump({"fold_id": fold_id, "n_batches": n,
+                       "base_rows": base_rows, "delta_rows": delta_rows}, f)
         os.replace(tmp, self._ptr)
-        if cur:
-            self.storage.remove(cur["labels"])
-        return self.storage.read(path)
+        for p in drop_incs:
+            self.storage.remove(p)
+        return self.labels()
