@@ -59,6 +59,16 @@ def main() -> None:
     from zentity_spark.pipeline import ResolutionJob
     from zentity_spark.session import get_spark
 
+    # Runs are engine-fingerprinted (same scheme as scripts/scaling.py):
+    # the fold path changed materially (delta-partitioned label state,
+    # commit 776bfc5), so the headline must only aggregate runs of the
+    # engine as it currently is.  Legacy runs without the field predate
+    # the fingerprinting and are kept for history but excluded from the
+    # headline once current-engine runs exist.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scaling import engine_fingerprint
+    fp = engine_fingerprint()
+
     spark = get_spark(f"local[{args.cpus}]",
                       extra={"spark.sql.shuffle.partitions":
                              str(4 * args.cpus)})
@@ -88,6 +98,7 @@ def main() -> None:
             "batch_s": batch_w, "batch_steal": batch_s,
             "fold_over_batch": round(fold_w / batch_w, 4),
             "clusters_rows": inc_n,
+            "engine": fp,
         })
         print(json.dumps(runs[-1]), flush=True)
 
@@ -113,11 +124,14 @@ def main() -> None:
         store[key]["runs"].extend(runs)
     else:
         store[key] = out
-    best_all = min(store[key]["runs"],
-                   key=lambda r: r["fold_s"] + r["batch_s"])
+    cur = [r for r in store[key]["runs"] if r.get("engine") == fp]
+    pool = cur or store[key]["runs"]
+    best_all = min(pool, key=lambda r: r["fold_s"] + r["batch_s"])
     store[key]["headline"] = {
         "fold_s": best_all["fold_s"], "batch_s": best_all["batch_s"],
         "fold_over_batch": best_all["fold_over_batch"],
+        "engine": best_all.get("engine", "pre-fingerprint"),
+        "n_runs_engine": len(cur),
     }
     with open(store_path, "w") as f:
         json.dump(store, f, indent=1)
