@@ -142,6 +142,22 @@ def test_fold_commits_only_relabeled_components(spark, model, tmp_path):
     job.unpersist()
 
 
+def test_single_inc_label_read_has_no_shuffle(spark, model, tmp_path):
+    """right after compaction (bootstrap included) the labels table is a
+    single inc, so the latest-wins aggregate is a no-op — labels() must
+    be a plain scan with NO Exchange/HashAggregate (at sf1 the needless
+    aggregate added ~O(N) shuffle to every fold's old-label read)."""
+    base, d1, _d2 = _chain_corpus(spark)
+    r = IncrementalResolver(spark, model, str(tmp_path / "st"),
+                            auto_compact_ratio=None)
+    r.add(base)
+    plan = r.labels()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "HashAggregate" not in plan
+    r.add(d1)  # two incs now: the latest-wins aggregate must come back
+    plan2 = r.labels()._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan2 or "HashAggregate" in plan2
+
+
 def test_label_auto_compaction(spark, model, tmp_path):
     """ratio-gated compaction folds the view into one inc and drops the
     older partitions, with the served labels unchanged."""

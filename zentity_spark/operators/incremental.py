@@ -151,7 +151,21 @@ class IncrementalResolver:
         cur = self._current()
         if cur is None:
             raise ValueError("no increments folded yet")
-        lab = (self.storage.read(self._path("labels"))
+        # single committed inc (always true right after compaction, which
+        # includes bootstrap) ⇒ the latest-wins aggregate is a no-op; skip
+        # it so the common fold path reads labels with NO shuffle instead
+        # of hash-aggregating all N rows (measured ~O(N) fold overhead at
+        # sf1 before this fast path).
+        root = self._path("labels")
+        if self.storage.file_based and os.path.isdir(root):
+            incs = [int(d.split("=")[1]) for d in os.listdir(root)
+                    if d.startswith("inc=")
+                    and int(d.split("=")[1]) <= cur["fold_id"]]
+            if len(incs) == 1:
+                return (self.storage.read(
+                            os.path.join(root, f"inc={incs[0]}"))
+                        .select("doc_id", "entity_id"))
+        lab = (self.storage.read(root)
                .where(F.col("inc") <= cur["fold_id"]))
         return (lab.groupBy("doc_id")
                 .agg(F.max_by("entity_id", "inc").alias("entity_id")))
