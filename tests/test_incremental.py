@@ -153,9 +153,33 @@ def test_single_inc_label_read_has_no_shuffle(spark, model, tmp_path):
     r.add(base)
     plan = r.labels()._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "HashAggregate" not in plan
-    r.add(d1)  # two incs now: the latest-wins aggregate must come back
+    # two incs, small delta: base must stream through an ANTI-JOIN against
+    # the broadcast delta ids — never a full-table latest-wins shuffle
+    r.add(d1)
     plan2 = r.labels()._jdf.queryExecution().executedPlan().toString()
-    assert "max_by" in plan2 or "HashAggregate" in plan2
+    assert "LeftAnti" in plan2 and "Broadcast" in plan2
+
+
+def test_multi_inc_label_read_falls_back_when_delta_large(
+        spark, model, tmp_path):
+    """with auto-broadcast disabled the delta-broadcast budget is 0, so
+    the multi-inc read must fall back to the full latest-wins aggregate
+    (and still serve the same labels)."""
+    base, d1, _d2 = _chain_corpus(spark)
+    r = IncrementalResolver(spark, model, str(tmp_path / "st"),
+                            auto_compact_ratio=None)
+    r.add(base)
+    r.add(d1)
+    fast = _labels(r.labels())
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = r.labels()._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" not in plan
+        assert "max_by" in plan or "HashAggregate" in plan
+        assert _labels(r.labels()) == fast
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_label_auto_compaction(spark, model, tmp_path):

@@ -82,6 +82,11 @@ from zentity_spark.plans.compiler import Scope
 # per-document stages whose union across increments equals the batch stage
 PER_DOC_STAGES = ("attrs_x", "keys_x", "vals_x", "vals_wide_x")
 
+# conservative per-row id-width estimate for byte-gating the delta-label
+# broadcast in labels() (doc_id strings are ~8-16 bytes in the fixture
+# corpora; real ids are rarely wider than this allowance)
+_LABEL_ID_BYTES = 32.0
+
 
 
 class IncrementalResolver:
@@ -151,20 +156,46 @@ class IncrementalResolver:
         cur = self._current()
         if cur is None:
             raise ValueError("no increments folded yet")
-        # single committed inc (always true right after compaction, which
-        # includes bootstrap) ⇒ the latest-wins aggregate is a no-op; skip
-        # it so the common fold path reads labels with NO shuffle instead
-        # of hash-aggregating all N rows (measured ~O(N) fold overhead at
-        # sf1 before this fast path).
+        # The latest-wins view never needs to shuffle all N rows:
+        #   * no deltas since the last compaction (bootstrap included) ⇒
+        #     the base inc IS the view — plain scan, no shuffle (measured
+        #     ~O(N) fold overhead at sf1 before this fast path);
+        #   * small deltas (cumulative delta_rows under the session's own
+        #     broadcast budget) ⇒ aggregate ONLY the delta incs, then
+        #     base ANTI-JOIN broadcast(delta doc_ids) ∪ deltas — the base
+        #     streams through unshuffled, so the steady-state fold between
+        #     compactions stays O(Δ)-shuffle;
+        #   * otherwise (deltas near the compaction threshold, catalog
+        #     formats, or a pre-base_inc state file) fall back to the
+        #     full latest-wins aggregate.
+        # Stale dirs below base_inc (a crashed compaction cleanup) are
+        # skipped entirely: the compacted inc holds the full view.
         root = self._path("labels")
-        if self.storage.file_based and os.path.isdir(root):
+        base_inc = cur.get("base_inc")
+        if (self.storage.file_based and base_inc is not None
+                and os.path.isdir(root)):
             incs = [int(d.split("=")[1]) for d in os.listdir(root)
                     if d.startswith("inc=")
                     and int(d.split("=")[1]) <= cur["fold_id"]]
-            if len(incs) == 1:
-                return (self.storage.read(
-                            os.path.join(root, f"inc={incs[0]}"))
+            if base_inc in incs:
+                base = (self.storage.read(
+                            os.path.join(root, f"inc={base_inc}"))
                         .select("doc_id", "entity_id"))
+                if not any(i > base_inc for i in incs):
+                    return base
+                d_rows = cur.get("delta_rows") or 0
+                if 0 < d_rows <= broadcast_row_budget(
+                        self.spark, _LABEL_ID_BYTES):
+                    deltas = (self.storage.read(root)
+                              .where((F.col("inc") > base_inc)
+                                     & (F.col("inc") <= cur["fold_id"])))
+                    d_latest = (deltas.groupBy("doc_id")
+                                .agg(F.max_by("entity_id", "inc")
+                                     .alias("entity_id")))
+                    return (base.join(
+                                F.broadcast(d_latest.select("doc_id")),
+                                "doc_id", "left_anti")
+                            .unionByName(d_latest))
         lab = (self.storage.read(root)
                .where(F.col("inc") <= cur["fold_id"]))
         return (lab.groupBy("doc_id")
@@ -359,10 +390,17 @@ class IncrementalResolver:
         if base_rows is None:
             base_rows = self.storage.read(
                 self._part("labels", fold_id)).count()
+        # base_inc = the inc holding the last compacted FULL view; read
+        # paths use it to serve base + small-delta reads without an O(N)
+        # aggregate, and to ignore stale pre-compaction dirs a crashed
+        # cleanup may have left behind
+        base_inc = fold_id if compact else (
+            cur.get("base_inc") if cur else None)
         tmp = self._ptr + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"fold_id": fold_id, "n_batches": n,
-                       "base_rows": base_rows, "delta_rows": delta_rows}, f)
+                       "base_rows": base_rows, "delta_rows": delta_rows,
+                       "base_inc": base_inc}, f)
         os.replace(tmp, self._ptr)
         for p in drop_incs:
             self.storage.remove(p)
