@@ -158,13 +158,15 @@ def test_ngram_df_cap_bounds_hot_shingle(duck):
     assert n_cand == 1
 
 
-def _jpair_corpus():
-    """doc pairs at EXACT shingle-set Jaccard {0.2, 0.5, 0.8} by
+def _jpair_corpus(w=3):
+    """doc pairs at EXACT ``w``-shingle-set Jaccard {0.2, 0.5, 0.8} by
     construction: each doc = p unique-prefix tokens + s shared tokens, so
-    shingles = p+s-2 per doc, shared = s-2, union = 2(p+s-2)-(s-2), and
-    (p, s) ∈ {(8,6), (5,12), (2,18)} lands j exactly on target.  All
-    tokens carry the (level, pair) index → zero cross-pair overlap."""
-    geometry = {0.2: (8, 6), 0.5: (5, 12), 0.8: (2, 18)}
+    shingles = p+s-(w-1) per doc, shared = s-(w-1), union =
+    2p+s-(w-1), and (p, s) ∈ {(8,6), (5,12), (2,18)} (+w-3 on s for
+    wider shingles) lands j exactly on target.  All tokens carry the
+    (level, pair) index → zero cross-pair overlap."""
+    geometry = {0.2: (8, 6 + w - 3), 0.5: (5, 12 + w - 3),
+                0.8: (2, 18 + w - 3)}
     n_pairs = {0.2: 150, 0.5: 60, 0.8: 60}
     rows, truth = [], {j: [] for j in geometry}
     for lvl, (p, s) in geometry.items():
@@ -180,9 +182,9 @@ def _jpair_corpus():
     return rows, truth
 
 
-def _minhash_cand_recall(con, truth, k, bands):
+def _minhash_cand_recall(con, truth, k, bands, w=3, rel="jp"):
     sql = tdops._with(
-        tdops._shingle_ctes("jp", D.DUCKDB)
+        tdops._shingle_ctes(rel, D.DUCKDB, w)
         + tdops._minhash_cand_ctes(D.DUCKDB, k, bands),
         "SELECT a, b FROM cand")
     cand = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
@@ -217,6 +219,75 @@ def test_minhash_prod_candidate_recall():
     rec16 = _minhash_cand_recall(con, truth, tdops.MINHASH_K,
                                  tdops.MINHASH_BANDS)
     assert rec16[0.2] < rec[0.2]
+
+
+def _bg_corpus(w):
+    """pairs at EXACT w-shingle-set Jaccard 0.03 — the template-background
+    regime BENCH/MINHASH_SCALE.md measured (96% of sf0.1 prod-tier
+    candidates sit at estimated j < 0.05).  Geometry: p = 97 unique +
+    s = (w-1)+6 shared tokens → shared shingles 6, union 200."""
+    p, s = 97, (w - 1) + 6
+    rows, pairs = [], []
+    for i in range(150):
+        shared = " ".join(f"s{i}t{k}" for k in range(s))
+        ida, idb = 2 * i, 2 * i + 1
+        rows.append((ida, " ".join(f"a{i}t{k}" for k in range(p))
+                     + " " + shared))
+        rows.append((idb, " ".join(f"b{i}t{k}" for k in range(p))
+                     + " " + shared))
+        pairs.append((ida, idb))
+    return rows, pairs
+
+
+def _bg_admits(rows, pairs, k, bands, w):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE bg (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO bg VALUES (?, ?)", rows)
+    sql = tdops._with(
+        tdops._shingle_ctes("bg", D.DUCKDB, w)
+        + tdops._minhash_cand_ctes(D.DUCKDB, k, bands),
+        "SELECT a, b FROM cand")
+    cand = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    return sum(1 for p in pairs if p in cand)
+
+
+def test_minhash_lowbg_candidate_recall():
+    """the low-background tier (K=864, b=288, r=3, w=5 shingles) must keep
+    candidate recall ≥ 0.9 at j = τ = 0.2 (analytic 1-(1-τ³)^288 = 0.90)
+    and ~1.0 above — suppressing background must NOT cost threshold
+    recall.  Deterministic (md5 of fixed token strings)."""
+    rows, truth = _jpair_corpus(w=tdops.MINHASH_SHINGLE_W_LOWBG)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE jp (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO jp VALUES (?, ?)", rows)
+    # constructed pairs sit at the exact target jaccard under w=5 shingles
+    ver = {(r[0], r[1]): r[2] for r in con.execute(
+        tdops.sql_minhash_pairs(
+            "jp", D.DUCKDB, k=tdops.MINHASH_K_LOWBG,
+            bands=tdops.MINHASH_BANDS_LOWBG, tau=0.0,
+            shingle_w=tdops.MINHASH_SHINGLE_W_LOWBG)).fetchall()}
+    for j, ps in truth.items():
+        for p in ps:
+            if p in ver:
+                assert ver[p] == pytest.approx(j)
+    rec = _minhash_cand_recall(con, truth, tdops.MINHASH_K_LOWBG,
+                               tdops.MINHASH_BANDS_LOWBG,
+                               w=tdops.MINHASH_SHINGLE_W_LOWBG)
+    assert rec[0.2] >= 0.85, rec
+    assert rec[0.5] == 1.0 and rec[0.8] == 1.0, rec
+
+
+def test_minhash_lowbg_suppresses_background():
+    """at the measured background regime (j = 0.03) the r=3 banding admits
+    far fewer candidates than the r=2 prod tier — the 7.2× suppression
+    MINHASH_SCALE.md priced (analytic per-pair admit: 0.056 → 0.0077).
+    150 planted pairs per arm → expected admits ≈ 8.4 vs ≈ 1.2."""
+    prod = _bg_admits(*_bg_corpus(3), tdops.MINHASH_K_PROD,
+                      tdops.MINHASH_BANDS_PROD, 3)
+    lowbg = _bg_admits(*_bg_corpus(tdops.MINHASH_SHINGLE_W_LOWBG),
+                       tdops.MINHASH_K_LOWBG, tdops.MINHASH_BANDS_LOWBG,
+                       tdops.MINHASH_SHINGLE_W_LOWBG)
+    assert lowbg * 2 < prod, (lowbg, prod)
 
 
 def test_ann_params_scale_with_corpus():

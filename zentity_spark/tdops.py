@@ -38,6 +38,16 @@ MINHASH_BANDS_PROD = 64 # → r = 2, b = 64.  Candidate P(j) = 1-(1-j²)^64:
                         # (S-curve midpoint (1/b)^(1/r) = 0.125 < τ), so
                         # more bands of 2 rows, not fewer of 4.
 JACCARD_TAU = 0.2       # verify threshold for near-dup pairs
+MINHASH_K_LOWBG = 864     # LOW-BACKGROUND tier (BENCH/MINHASH_SCALE.md
+MINHASH_BANDS_LOWBG = 288 # remedy, priced round 4): r = 3, b = 288 keeps
+                          # recall at the verify threshold — P(j=0.2) =
+                          # 1-(1-0.2³)^288 = 0.90 — while suppressing the
+                          # measured j≈0.03 background admissions 7.2×
+                          # (P(0.03): r=2/b=64 0.056 → r=3/b=288 0.0077).
+MINHASH_SHINGLE_W_LOWBG = 5  # 5-token shingles kill the superlinear
+                          # template-text candidate term at its source: a
+                          # shared 3-gram inside boilerplate is no longer a
+                          # shared shingle unless 5 consecutive tokens match.
 NGRAM_DF_CAP = 100      # shingles in more docs than this are not candidate
                         # keys (a boilerplate shingle shared by 10⁶ docs
                         # would otherwise make a 10¹² pair block); verify
@@ -74,17 +84,22 @@ def _toks(c: str, dialect: str) -> str:
     return D.tokens(c, dialect)
 
 
-def _shingle_list(tk: str, dialect: str) -> str:
-    """3-token shingles of a token array."""
+def _shingle_list(tk: str, dialect: str, w: int = 3) -> str:
+    """``w``-token shingles of a token array (w = 3 default; the low-
+    background MinHash tier uses w = 5)."""
+    offs = range(w)
     if dialect == D.DUCKDB:
         elem = lambda i: f"{tk}[CAST({i} AS INTEGER)]"
-        return (f"CASE WHEN len({tk}) < 3 THEN [] ELSE "
-                f"list_transform(range(1, len({tk}) - 1), i -> "
-                f"{elem('i')} || ' ' || {elem('i + 1')} || ' ' || {elem('i + 2')}) END")
+        body = " || ' ' || ".join(elem(f"i + {o}") if o else elem("i")
+                                  for o in offs)
+        return (f"CASE WHEN len({tk}) < {w} THEN [] ELSE "
+                f"list_transform(range(1, len({tk}) - {w - 2}), i -> "
+                f"{body}) END")
     elem = lambda i: f"element_at({tk}, {i})"
-    return (f"CASE WHEN size({tk}) < 3 THEN array() ELSE "
-            f"transform(sequence(1, size({tk}) - 2), i -> "
-            f"concat({elem('i')}, ' ', {elem('i + 1')}, ' ', {elem('i + 2')})) END")
+    body = ", ' ', ".join(elem(f"i + {o}") if o else elem("i") for o in offs)
+    return (f"CASE WHEN size({tk}) < {w} THEN array() ELSE "
+            f"transform(sequence(1, size({tk}) - {w - 1}), i -> "
+            f"concat({body})) END")
 
 
 def _contains(lst: tuple, item: str, dialect: str) -> str:
@@ -185,12 +200,13 @@ def sql_exact_dupes(rel: str, dialect: str) -> str:
     )
 
 
-def _shingle_ctes(rel: str, dialect: str) -> list:
+def _shingle_ctes(rel: str, dialect: str, w: int = 3) -> list:
     tk = _toks("text", dialect)
     return [
         ("toks", f"SELECT doc_id, {tk} AS tk FROM {rel}"),
         ("sh", "SELECT DISTINCT doc_id, shingle FROM ("
-               + _explode(_shingle_list("tk", dialect), "toks", "shingle", dialect)
+               + _explode(_shingle_list("tk", dialect, w), "toks", "shingle",
+                          dialect)
                + ")"),
     ]
 
@@ -235,13 +251,13 @@ def _minhash_cand_ctes(dialect: str, k: int, bands: int) -> list:
 
 def sql_minhash_pairs(rel: str, dialect: str, k: int = MINHASH_K,
                       bands: int = MINHASH_BANDS,
-                      tau: float = JACCARD_TAU) -> str:
+                      tau: float = JACCARD_TAU, shingle_w: int = 3) -> str:
     """MinHash + LSH near-dup pairs: LSH candidates (``_minhash_cand_ctes``)
     → exact-Jaccard verify ≥ tau.  Defaults are the cheap oracle tier;
     production deployments pass k = MINHASH_K_PROD / bands =
     MINHASH_BANDS_PROD (candidate recall ≥ 0.9 at j = τ, pinned by
     tests/test_tdops.py::test_minhash_prod_candidate_recall)."""
-    ctes = (_shingle_ctes(rel, dialect)
+    ctes = (_shingle_ctes(rel, dialect, shingle_w)
             + _minhash_cand_ctes(dialect, k, bands)
             + _jaccard_verify_sql(dialect))
     return _with(ctes, "SELECT doc_id_a, doc_id_b, jaccard FROM verified "
@@ -252,6 +268,20 @@ def sql_minhash_prod_pairs(rel: str, dialect: str) -> str:
     """production-tier MinHash near-dup pairs (K=128, b=64, r=2)."""
     return sql_minhash_pairs(rel, dialect, k=MINHASH_K_PROD,
                              bands=MINHASH_BANDS_PROD)
+
+
+def sql_minhash_lowbg_pairs(rel: str, dialect: str) -> str:
+    """LOW-BACKGROUND MinHash tier — BENCH/MINHASH_SCALE.md's priced remedy
+    for the measured superlinear candidate admissions on template-heavy text,
+    shipped as a first-class op: (K=864, b=288, r=3) holds candidate recall
+    ≥ 0.9 at j = τ = 0.2 while cutting j≈0.03 background band admissions
+    7.2× vs the r=2 prod tier, and w=5-token shingles remove the shared-
+    boilerplate N² candidate term at its source.  Jaccard here is over the
+    5-shingle sets (a strictly sharper near-dup notion than the 3-shingle
+    tiers — boilerplate overlap scores lower, true near-dups barely move)."""
+    return sql_minhash_pairs(rel, dialect, k=MINHASH_K_LOWBG,
+                             bands=MINHASH_BANDS_LOWBG,
+                             shingle_w=MINHASH_SHINGLE_W_LOWBG)
 
 
 def sql_ngram_jaccard_pairs(rel: str, dialect: str,
@@ -475,6 +505,7 @@ DOC_OPS = {
     "td_exact_dupes": sql_exact_dupes,
     "td_minhash_pairs": sql_minhash_pairs,
     "td_minhash_prod_pairs": sql_minhash_prod_pairs,
+    "td_minhash_lowbg_pairs": sql_minhash_lowbg_pairs,
     "td_ngram_jaccard_pairs": sql_ngram_jaccard_pairs,
     "td_simhash": sql_simhash,
     "td_simhash_pairs": sql_simhash_pairs,
