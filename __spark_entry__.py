@@ -534,6 +534,15 @@ def _td_query(name):
             tables, bits = tdops.ann_params_for(n)
             return spark.sql(tdops.sql_embed_ann(
                 rel, D.SPARK, _EMB_DIM, tables=tables, bits=bits))
+        if name == "td_embed_ivf":
+            # N-adaptive IVF sizing (cells hold home occupancy, nprobe
+            # buys boundary recall) — the declared sign-LSH handoff.
+            n = spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")).count()
+            k_cells, nprobe = tdops.ivf_params_for(n)
+            return spark.sql(tdops.sql_embed_ivf(
+                rel, D.SPARK, dim=_EMB_DIM, k_cells=k_cells, nprobe=nprobe,
+                n_iter=tdops.IVF_LLOYD_ITERS))
         fn = {**tdops.DOC_OPS, **tdops.EMB_OPS}[name]
         return spark.sql(fn(rel, D.SPARK))
     return run
@@ -554,12 +563,17 @@ def _td_oracles() -> dict[str, str]:
     tables, bits = tdops.ann_params_for(n)
     out["td_embed_ann"] = tdops.sql_embed_ann(
         "embeddings", D.DUCKDB, _EMB_DIM, tables=tables, bits=bits)
+    k_cells, nprobe = tdops.ivf_params_for(n)
+    out["td_embed_ivf"] = tdops.sql_embed_ivf(
+        "embeddings", D.DUCKDB, dim=_EMB_DIM, k_cells=k_cells,
+        nprobe=nprobe, n_iter=tdops.IVF_LLOYD_ITERS)
     return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     td = {name: _td_query(name)
-          for name in list(tdops.DOC_OPS) + list(tdops.EMB_OPS) + ["td_embed_ann"]}
+          for name in (list(tdops.DOC_OPS) + list(tdops.EMB_OPS)
+                       + ["td_embed_ann", "td_embed_ivf"])}
     return td | {
         "er_extract_attributes": _q_extract,
         "er_blocking_keys": _q_keys,

@@ -32,6 +32,11 @@ Reported per corpus: measured recall on truth pairs (overall and in the
 worst bin [0.70, 0.75)), the analytic worst-case floor at cosine = 0.7
 (1 - (1 - p^bits)^tables, p = 1 - acos(0.7)/pi), and candidate work
 (sum over tables of in-bucket pairs) vs the N^2/2 brute force.
+
+Round-4 addendum: the IVF handoff (`tdops.sql_embed_ivf`) is measured at
+the same tiers with the same ground truth and its own SQL crosscheck —
+the headline is N = 1M, where sign-LSH's 32-table cap binds (recall
+0.598) and IVF's linear-candidate structure does not.
 Results -> BENCH/ann_recall.json + summary in BENCH/README.md.
 """
 from __future__ import annotations
@@ -105,6 +110,161 @@ def sql_candidate_set(spec_view_sql: str, tables: int, bits: int) -> set:
     return {(a, b) for a, b in con.execute(
         "WITH out AS (" + sql + ") SELECT vec_id_a, vec_id_b FROM out"
     ).fetchall()}
+
+
+def _md5_60(v: int) -> int:
+    """numpy-side mirror of dialect.md5_int64(CAST(vec_id AS VARCHAR))."""
+    import hashlib
+    return int(hashlib.md5(str(int(v)).encode()).hexdigest()[:15], 16)
+
+
+def ivf_assign(ids: np.ndarray, vecs: np.ndarray, k_cells: int,
+               nprobe: int, n_iter: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """(home, probes) with the EXACT centroid choice, Lloyd arithmetic,
+    and rank order the shipped sql_embed_ivf embeds: seeds = k_cells
+    smallest md5_int64(vec_id) (ties by vec_id); each Lloyd step
+    accumulates floor(x·2²⁰+.5) in int64 (the SQL's exactly-associative
+    fixed-point sums) and divides in float64; ranks by cosine desc then
+    cell asc.  home = probes[:, 0].  float64 at crosscheck sizes,
+    float32 matmuls above 200k rows (recall measurement only)."""
+    n = len(ids)
+    dt = np.float64 if n <= 200_000 else np.float32
+    S = float(tdops.IVF_FIXED_SCALE)
+    h = np.array([_md5_60(v) for v in ids], dtype=np.uint64)
+    order = np.lexsort((ids, h))
+    cents = vecs[order[:k_cells]].astype(np.float64)
+    live = np.ones(k_cells, dtype=bool)
+    nrm = np.linalg.norm(vecs, axis=1).astype(dt)
+    vecs_dt = vecs.astype(dt)
+
+    def rank_pass(width: int) -> np.ndarray:
+        cnrm = np.linalg.norm(cents, axis=1).astype(dt)
+        cs = cents.astype(dt)
+        out = np.empty((n, width), dtype=np.int32)
+        kk = int(live.sum())
+        for s0 in range(0, n, 10_000):
+            e0 = min(n, s0 + 10_000)
+            cos = (vecs_dt[s0:e0] @ cs.T) / np.outer(nrm[s0:e0], cnrm)
+            cos[:, ~live] = -np.inf                  # dropped/empty cells
+            top = np.argpartition(-cos, min(width, kk - 1),
+                                  axis=1)[:, :width]
+            rowi = np.arange(e0 - s0)[:, None]
+            sub = cos[rowi, top]
+            sort = np.lexsort((top, -sub), axis=1)   # cos desc, cell asc
+            out[s0:e0] = top[rowi, sort]
+        return out
+
+    for _ in range(n_iter):
+        home = rank_pass(1)[:, 0]
+        fx = np.floor(vecs.astype(np.float64) * S + 0.5).astype(np.int64)
+        sums = np.zeros((k_cells, vecs.shape[1]), dtype=np.int64)
+        np.add.at(sums, home, fx)
+        cnt = np.bincount(home, minlength=k_cells)
+        live = cnt > 0
+        cents = np.where(live[:, None],
+                         sums / np.maximum(cnt, 1)[:, None] / S, cents)
+    probes = rank_pass(nprobe)
+    return probes[:, 0], probes
+
+
+def measure_ivf(spec: str, tau: float = TAU) -> dict:
+    """IVF recall at corpus-derived (k_cells, nprobe) against the same
+    brute-force ground truth as measure(): a truth pair (a, b) is found
+    iff home(b) ∈ probes(a) or home(a) ∈ probes(b) — exactly the
+    candidate condition of sql_embed_ivf's probe ⋈ home join."""
+    ids, vecs = load_corpus(spec)
+    n = len(ids)
+    k_cells, nprobe = tdops.ivf_params_for(n)
+    n_iter = tdops.IVF_LLOYD_ITERS
+    nrm = np.linalg.norm(vecs, axis=1)
+    q = min(SAMPLE, n)
+
+    t0 = time.time()
+    home, probes = ivf_assign(ids, vecs, k_cells, nprobe, n_iter)
+    assign_s = time.time() - t0
+
+    t0 = time.time()
+    cos = np.empty((q, n), dtype=np.float32)
+    for s0 in range(0, n, 200_000):
+        e0 = min(n, s0 + 200_000)
+        cos[:, s0:e0] = ((vecs[:q] @ vecs[s0:e0].T)
+                         / np.outer(nrm[:q], nrm[s0:e0]))
+    qi, cj = np.nonzero(cos >= tau)
+    mask = qi != cj
+    qi, cj = qi[mask], cj[mask]
+    truth_cos = cos[qi, cj]
+    hit_mask = ((probes[qi] == home[cj][:, None]).any(axis=1)
+                | (probes[cj] == home[qi][:, None]).any(axis=1))
+    truth_s = time.time() - t0
+
+    pa, pb = np.minimum(qi, cj), np.maximum(qi, cj)
+    key = pa.astype(np.int64) * n + pb
+    _, first = np.unique(key, return_index=True)
+    hits, t_cos = hit_mask[first], truth_cos[first]
+    n_truth, n_hit = len(first), int(hits.sum())
+
+    per_bin = {}
+    bins = BINS if tau >= BINS[0][0] else [(tau, tau + 0.05),
+                                           (tau + 0.05, tau + 0.1),
+                                           (tau + 0.1, 1.01)]
+    for lo, hi in bins:
+        m = (t_cos >= lo) & (t_cos < hi)
+        per_bin[f"{lo:.2f}-{hi:.2f}"] = (
+            round(float(hits[m].mean()), 4) if m.any() else None)
+
+    # candidate work: the probe ⋈ home join size (minus self-matches)
+    home_counts = np.bincount(home, minlength=k_cells).astype(np.int64)
+    probe_counts = np.bincount(probes.ravel(),
+                               minlength=k_cells).astype(np.int64)
+    work = int((home_counts * probe_counts).sum()) - n * 1  # self in own home
+    row = {
+        "algo": "ivf", "corpus": spec, "tau": tau, "n": n,
+        "k_cells": k_cells, "nprobe": nprobe, "lloyd_iters": n_iter,
+        "queries_sampled": q, "truth_pairs_ge_tau": n_truth,
+        "recall": round(n_hit / n_truth, 4) if n_truth else None,
+        "recall_by_cosine_bin": per_bin,
+        "cand_work_pairs": work,
+        "bruteforce_pairs": n * (n - 1) // 2,
+        "work_ratio": round(work / (n * (n - 1) / 2), 5),
+        "assign_wall_s": round(assign_s, 1), "truth_wall_s": round(truth_s, 1),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def crosscheck_ivf_sql(spec: str) -> None:
+    """numpy (home, probes) == the shipped SQL's candidate set (N=2,000)."""
+    import duckdb
+    ids, vecs = load_corpus(spec)
+    n = len(ids)
+    k_cells, nprobe = tdops.ivf_params_for(n)
+    n_iter = tdops.IVF_LLOYD_ITERS
+    home, probes = ivf_assign(ids, vecs, k_cells, nprobe, n_iter)
+    np_set = set()
+    by_home = {}
+    for i, c in enumerate(home):
+        by_home.setdefault(int(c), []).append(i)
+    for i in range(n):
+        for c in probes[i]:
+            for j in by_home.get(int(c), ()):
+                if j != i:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    np_set.add((a, b))
+    con = duckdb.connect()
+    con.execute("CREATE OR REPLACE VIEW embeddings AS SELECT vec_id, "
+                f"embedding FROM read_parquet('{spec}')")
+    sql = tdops.sql_embed_ivf("embeddings", D.DUCKDB, dim=DIM,
+                              k_cells=k_cells, nprobe=nprobe,
+                              n_iter=n_iter)
+    sql = sql.replace(f"WHERE cosine >= {tdops.ANN_COS_TAU!r}", "")
+    sql_set = {(a, b) for a, b in con.execute(
+        "WITH out AS (" + sql + ") SELECT vec_id_a, vec_id_b FROM out"
+    ).fetchall()}
+    assert np_set == sql_set, (
+        f"numpy vs SQL IVF candidate mismatch: {len(np_set)} vs "
+        f"{len(sql_set)}")
+    print(f"ivf crosscheck ok: numpy candidate set == SQL candidate set "
+          f"({len(np_set)} pairs at n={n})", flush=True)
 
 
 def measure(spec: str, tau: float = TAU) -> dict:
@@ -203,11 +363,17 @@ def crosscheck_sql(spec: str) -> None:
 def main() -> None:
     real = "/root/testdata/sf0.1/embeddings.parquet"
     crosscheck_sql(real)
+    crosscheck_ivf_sql(real)
     rows = [measure(real), measure(real, tau=0.5),
             measure("synth:20000"), measure("synth:100000"),
             # at 1M the 32-table cap binds: quantifies the documented
             # multiprobe/IVF handoff point rather than hiding it
-            measure("synth:1000000")]
+            measure("synth:1000000"),
+            # the IVF handoff itself, measured at the same tiers — the
+            # point is the 1M row, where sign-LSH's cap costs recall and
+            # IVF's linear-candidate structure does not
+            measure_ivf(real), measure_ivf("synth:20000"),
+            measure_ivf("synth:100000"), measure_ivf("synth:1000000")]
     out = os.path.join(REPO, "BENCH", "ann_recall.json")
     with open(out, "w") as f:
         json.dump(rows, f, indent=1)

@@ -113,6 +113,56 @@ def test_embed_ann_agrees_with_bruteforce_high_cos(duck):
         assert bf[(a, b)] >= tdops.ANN_COS_TAU
 
 
+def test_embed_ivf_agrees_with_bruteforce_high_cos(duck):
+    """IVF with k_cells = N degenerates every vector to its own home cell
+    but probes still visit neighbors; with a small k the high-cos pairs
+    must land in a shared cell.  Either way reported cosines must agree
+    with brute force and respect the tau filter."""
+    ivf = {(r[0], r[1]): r[2] for r in
+           q(duck, tdops.sql_embed_ivf("embs", D.DUCKDB,
+                                       k_cells=2, nprobe=2))}
+    assert (1, 2) in ivf and (1, 3) in ivf        # near-identical pairs found
+    bf = {(r[0], r[1]): r[2]
+          for r in q(duck, tdops.sql_embed_topk("embs", D.DUCKDB))}
+    for (a, b), cos in ivf.items():
+        assert cos == pytest.approx(bf[(a, b)])
+        assert cos >= tdops.ANN_COS_TAU
+
+
+def test_embed_ivf_lloyd_refinement(duck):
+    """Lloyd refinement (fixed-point BIGINT means — exactly associative,
+    so the dual-dialect parity survives distribution) must keep the
+    near-identical pairs and brute-force-consistent cosines."""
+    ivf = {(r[0], r[1]): r[2] for r in
+           q(duck, tdops.sql_embed_ivf("embs", D.DUCKDB, dim=3,
+                                       k_cells=2, nprobe=2, n_iter=2))}
+    assert (1, 2) in ivf and (1, 3) in ivf
+    bf = {(r[0], r[1]): r[2]
+          for r in q(duck, tdops.sql_embed_topk("embs", D.DUCKDB))}
+    for (a, b), cos in ivf.items():
+        assert cos == pytest.approx(bf[(a, b)])
+    with pytest.raises(ValueError):
+        tdops.sql_embed_ivf("embs", D.DUCKDB, n_iter=1)  # dim required
+
+
+def test_ivf_params_scale_with_corpus():
+    """cells hold home occupancy ≈ target (candidate join stays linear in
+    N at fixed parameters); nprobe is bounded; caps bound the plan."""
+    k1, p1 = tdops.ivf_params_for(500)
+    k2, p2 = tdops.ivf_params_for(100_000)
+    k3, p3 = tdops.ivf_params_for(10_000_000)
+    assert k1 < k2 < k3
+    for n, k in ((100_000, k2), (10_000_000, k3)):
+        occ = n / k
+        assert occ <= tdops.IVF_TARGET_CELL_ROWS * 1.01
+    assert p1 <= p2 <= p3 <= tdops.IVF_MAX_PROBE
+    k4, p4 = tdops.ivf_params_for(10**12)
+    assert k4 == tdops.IVF_MAX_CELLS and p4 <= tdops.IVF_MAX_PROBE
+    # nprobe never exceeds the cell count (degenerate tiny corpora)
+    k5, p5 = tdops.ivf_params_for(8)
+    assert p5 <= k5
+
+
 def test_spark_td_queries_run(spark):
     """Spark render of every op runs and returns the same row count as
     DuckDB on the sf0.001 testdata (full value agreement at sf0.01 is in

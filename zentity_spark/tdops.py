@@ -1,8 +1,9 @@
 """Training-data pipeline operators over the driver's ``documents`` and
 ``embeddings`` tables: deduplication (exact, MinHash+LSH, SimHash, n-gram
 Jaccard), text analysis (stats, quality, language-ID, fingerprinting), and
-embedding similarity search (brute-force cosine top-k baseline + sign-LSH
-bucketed ANN as the scale path).
+embedding similarity search (brute-force cosine top-k baseline, sign-LSH
+bucketed ANN as the scale path, IVF as the handoff once the LSH table cap
+binds — measured in BENCH/ann_recall.json).
 
 Every op is a dual-dialect SQL builder (like plans/compiler.py): the Spark
 query and the DuckDB oracle render from the same code, and all hashing goes
@@ -67,6 +68,13 @@ ANN_TABLES = 4          # banded sign-LSH: independent hash tables; a pair
                         # multi-probe recall a single 12-bit table lacks
 ANN_BITS = 10           # hyperplanes per table → 1024 buckets per table
 ANN_COS_TAU = 0.0       # report all in-bucket pairs above this cosine
+IVF_TARGET_CELL_ROWS = 256  # IVF: expected home-assignment rows per cell
+IVF_MAX_CELLS = 65536   # beyond ~16.7M rows occupancy grows linearly with
+                        # N again — the next handoff is a second-level
+                        # split (re-train / IVF-PQ), documented not hidden
+IVF_MAX_PROBE = 8       # query-side multi-probe ceiling
+IVF_LLOYD_ITERS = 1     # default Lloyd refinements (measured: +0.09 recall
+                        # at N=100k, +0.16 at N=1M, identical cand. work)
 
 STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on", "for", "with")
 LANG_STOPS = {
@@ -494,6 +502,131 @@ def sql_embed_ann(rel: str, dialect: str, dim: int,
                  f"WHERE cosine >= {ANN_COS_TAU!r}")
 
 
+def ivf_params_for(n_rows: int, target_cell_rows: int = IVF_TARGET_CELL_ROWS,
+                   min_cells: int = 4, max_cells: int = IVF_MAX_CELLS,
+                   max_probe: int = IVF_MAX_PROBE) -> tuple:
+    """(k_cells, nprobe) sizing for sql_embed_ivf at a given corpus size.
+
+    k_cells holds expected home occupancy ≈ target_cell_rows, so the
+    candidate join stays ~nprobe · N · target rows — LINEAR in N with
+    constant parameters, which is exactly what sign-LSH loses once its
+    table cap binds (measured: recall 0.598 at N = 1M,
+    BENCH/ann_recall.json).  nprobe buys boundary recall: a pair split
+    across cells is still found when either side's home cell is among
+    the other's nprobe nearest."""
+    k = max(min_cells, min(max_cells,
+                           math.ceil(max(n_rows, 1) / target_cell_rows)))
+    nprobe = max(2, min(max_probe, k // 2))
+    return k, nprobe
+
+
+IVF_FIXED_SCALE = 1048576.0  # 2^20: fixed-point Lloyd accumulator scale
+
+
+def sql_embed_ivf(rel: str, dialect: str, dim: int = None,
+                  k_cells: int = 8, nprobe: int = 2, n_iter: int = 0,
+                  tau: float = ANN_COS_TAU) -> str:
+    """IVF (inverted-file) ANN — the declared handoff once sign-LSH's
+    table cap binds (``ann_params_for`` docstring; measured at N = 1M in
+    BENCH/ann_recall.json).
+
+    Stages, all dual-dialect SQL:
+      1. seed centroids = the k_cells vectors with the smallest
+         md5_int64(vec_id) — a deterministic uniform sample both engines
+         agree on (the coreset-free IVF bootstrap).
+      2. ``n_iter`` Lloyd refinements (requires ``dim``): assign every
+         vector to its nearest centroid, recompute each cell's mean.
+         The mean is accumulated in FIXED-POINT BIGINT (floor(x·2²⁰+.5))
+         because integer addition is exactly associative — a plain
+         SUM(double) depends on partition order and would break the
+         bit-identical Spark==DuckDB parity the driver gate pins.
+         Measured effect (BENCH/ann_recall.json): at N = 100k recall
+         0.857 → 0.944 (1 iter) → 0.966 (2) at IDENTICAL candidate
+         work — sampled seeds are near-equidistant noise in high dim,
+         one mean step snaps them onto the data manifold.
+      3. assignment: every vector ranks the final centroids by cosine
+         (fixed-fold dot product → bit-identical doubles → identical
+         ranks); rank 1 is the HOME cell, ranks ≤ nprobe are the PROBE
+         set.  On Spark this is a broadcast cross-join against k_cells
+         rows + one window per vec_id — no all-pairs anything.
+      4. candidates: probe ⋈ home on cell (asymmetric, the true IVF
+         search semantics — a query visits nprobe inverted lists, lists
+         hold home assignments), canonicalized with least/greatest and
+         deduped.  Join size ~ nprobe · N · target_cell_rows.
+      5. exact cosine verify ≥ tau, identical to sql_embed_ann.
+
+    Scale shape: each assignment pass is N · k_cells dot products
+    (embarrassingly parallel, centroids broadcast); the Lloyd sums
+    shuffle N · dim rows into k_cells · dim groups; candidate work is
+    linear in N at fixed (target, nprobe).  The quadratic brute force
+    survives only as the small-scale oracle (sql_embed_topk)."""
+    if n_iter > 0 and dim is None:
+        raise ValueError("Lloyd refinement (n_iter > 0) needs dim")
+    sty = _sty(dialect)
+    h = D.md5_int64(f"CAST(vec_id AS {sty})", dialect)
+    dot = _dot("va.embedding", "vb.embedding", dialect)
+
+    def cos_vc(cents: str) -> str:
+        return (f"({_dot('v.embedding', 'c.cemb', dialect)}"
+                f" / (v.nrm * c.cnrm))")
+
+    def ranked_sql(cents: str, max_rk) -> str:
+        return (f"SELECT vec_id, cell, rk FROM ("
+                f"SELECT v.vec_id, c.cell, row_number() OVER ("
+                f"PARTITION BY v.vec_id ORDER BY {cos_vc(cents)} DESC, "
+                f"c.cell) AS rk "
+                f"FROM vecs v CROSS JOIN {cents} c) r WHERE rk <= {max_rk}")
+
+    ctes = [
+        _norm_cte(rel, dialect),
+        ("cents_0",
+         f"SELECT rn - 1 AS cell, embedding AS cemb, nrm AS cnrm FROM ("
+         f"SELECT embedding, nrm, row_number() OVER (ORDER BY {h}, vec_id) "
+         f"AS rn FROM vecs) t WHERE rn <= {k_cells}"),
+    ]
+    for i in range(n_iter):
+        if dialect == D.DUCKDB:
+            elem = "v.embedding[CAST(j + 1 AS INTEGER)]"
+            arr = ("list_transform(list_sort(list({'j': j, 'm': m})), "
+                   "x -> x.m)")
+        else:
+            elem = "element_at(v.embedding, CAST(j + 1 AS INT))"
+            arr = "transform(array_sort(collect_list(struct(j, m))), x -> x.m)"
+        fx = (f"CAST(floor(CAST({elem} AS DOUBLE) * {IVF_FIXED_SCALE!r} "
+              f"+ 0.5) AS BIGINT)")
+        ctes += [
+            (f"js_{i}", _seq(dim, dialect)) if i == 0 else None,
+            (f"home_{i}", ranked_sql(f"cents_{i}", 1)),
+            (f"sums_{i}",
+             f"SELECT a.cell, j, sum({fx}) AS s, count(*) AS c "
+             f"FROM home_{i} a JOIN vecs v ON v.vec_id = a.vec_id "
+             f"CROSS JOIN js_0 GROUP BY a.cell, j"),
+            (f"cents_{i + 1}",
+             f"SELECT cell, cemb, "
+             f"sqrt({_dot('cemb', 'cemb', dialect)}) AS cnrm FROM ("
+             f"SELECT cell, {arr} AS cemb FROM ("
+             f"SELECT cell, j, CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) "
+             f"* {IVF_FIXED_SCALE!r}) AS m FROM sums_{i}) u "
+             f"GROUP BY cell) g"),
+        ]
+    ctes = [c for c in ctes if c is not None]
+    ctes += [
+        ("ranked", ranked_sql(f"cents_{n_iter}", nprobe)),
+        ("cand_ids",
+         "SELECT DISTINCT least(p.vec_id, h.vec_id) AS vec_id_a, "
+         "greatest(p.vec_id, h.vec_id) AS vec_id_b "
+         "FROM ranked p JOIN ranked h ON h.cell = p.cell AND h.rk = 1 "
+         "AND h.vec_id <> p.vec_id"),
+        ("cand", "SELECT c.vec_id_a, c.vec_id_b, "
+                 f"({dot} / (va.nrm * vb.nrm)) AS cosine FROM cand_ids c "
+                 "JOIN vecs va ON va.vec_id = c.vec_id_a "
+                 "JOIN vecs vb ON vb.vec_id = c.vec_id_b"),
+    ]
+    return _with(ctes,
+                 "SELECT vec_id_a, vec_id_b, cosine FROM cand "
+                 f"WHERE cosine >= {tau!r}")
+
+
 # ---------------------------------------------------------------------------
 # registries
 # ---------------------------------------------------------------------------
@@ -514,5 +647,6 @@ DOC_OPS = {
 
 EMB_OPS = {
     "td_embed_topk": sql_embed_topk,
-    # td_embed_ann is dim-parameterized; wired explicitly in __spark_entry__
+    # td_embed_ann (dim + N-adaptive) and td_embed_ivf (N-adaptive) are
+    # parameterized at plan time; wired explicitly in __spark_entry__
 }
