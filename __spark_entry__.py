@@ -272,6 +272,26 @@ def _q2_input_seeded(spark, sf_dir):
         attributes=SEED2_INPUT, max_hops=SEED2_INPUT_HOPS))
 
 
+SEED2_TERMS = ["madir martt", "1000.00"]   # holder/company string + balance
+SEED2_TERMS_HOPS = 2                        # number — exercises model-2 term
+SEED2_IDS = ["e-000000", "e-000002"]        # coercion across types
+SEED2_IDS_HOPS = 2
+
+
+def _q2_terms_seeded(spark, sf_dir):
+    """terms seeding on the second model: untyped terms coerced against
+    jw/ngram string attrs AND the number attr (balance) — the er2 analog
+    of er_terms_seeded."""
+    return _hopq(_job2(spark, sf_dir).resolve_input(
+        terms=SEED2_TERMS, max_hops=SEED2_TERMS_HOPS))
+
+
+def _q2_ids_seeded(spark, sf_dir):
+    """ids seeding on the second model — the er2 analog of er_ids_seeded."""
+    return _hopq(_job2(spark, sf_dir).resolve_input(
+        ids=SEED2_IDS, max_hops=SEED2_IDS_HOPS))
+
+
 def _q2_increment_clusters(spark, sf_dir):
     """incremental fold over the SECOND model (jw/ngram matchers, number +
     boolean attributes, dd/MM/yyyy dates) — er_increment_clusters covers
@@ -451,6 +471,23 @@ def _oracle2_input_seeded() -> str:
         rel=_rel2())
 
 
+def _oracle2_terms_seeded() -> str:
+    plan = _plan2()
+    probe = _probe_from_terms(plan, SEED2_TERMS)
+    return _oracle_bounded_hopq(
+        plan, "SELECT doc_id, 0 AS hop, 0 AS q FROM seed_docs_x",
+        SEED2_TERMS_HOPS, extra_pre=plan.seed_ctes(probe, D.DUCKDB),
+        rel=_rel2())
+
+
+def _oracle2_ids_seeded() -> str:
+    seeds = " UNION ALL ".join(
+        f"SELECT '{i}' AS doc_id, 0 AS hop, 0 AS q" for i in SEED2_IDS)
+    return _oracle_bounded_hopq(
+        _plan2(), f"SELECT doc_id, hop, q FROM ({seeds}) s0",
+        SEED2_IDS_HOPS, rel=_rel2())
+
+
 def _oracle_scoped_clusters() -> str:
     from zentity_spark.plans.compiler import compile_model
     plan = compile_model(_model(), Scope(**SCOPED))
@@ -602,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er2_doc_scores": _q2_doc_scores,
         "er2_cluster_sizes": _q2_cluster_sizes,
         "er2_input_seeded": _q2_input_seeded,
+        "er2_terms_seeded": _q2_terms_seeded,
+        "er2_ids_seeded": _q2_ids_seeded,
         "er2_increment_clusters": _q2_increment_clusters,
     }
 
@@ -656,6 +695,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT entity_id, CAST(count(*) AS BIGINT) AS n_docs FROM labels "
             "GROUP BY entity_id HAVING count(*) > 1"),
         "er2_input_seeded": _oracle2_input_seeded(),
+        "er2_terms_seeded": _oracle2_terms_seeded(),
+        "er2_ids_seeded": _oracle2_ids_seeded(),
         # incremental fold == batch, so the batch clustering oracle applies
         "er2_increment_clusters": _oracle2_clusters(
             "SELECT doc_id, entity_id FROM labels"),

@@ -32,20 +32,26 @@ BIN_SQL = ("CASE WHEN jaccard < 0.05 THEN 'j<0.05' "
            "ELSE 'j>=0.20' END")
 
 
-def measure(sf: str) -> dict:
+def measure(sf: str, tier: str = "prod") -> dict:
+    """tier 'prod' = (K=128, b=64, r=2, w=3); tier 'lowbg' = the shipped
+    remedy (K=864, b=288, r=3, w=5) — td_minhash_lowbg_pairs."""
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
                 f"'/root/testdata/{sf}/documents.parquet')")
     n = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    if tier == "prod":
+        k, bands, w = (tdops.MINHASH_K_PROD, tdops.MINHASH_BANDS_PROD, 3)
+    else:
+        k, bands, w = (tdops.MINHASH_K_LOWBG, tdops.MINHASH_BANDS_LOWBG,
+                       tdops.MINHASH_SHINGLE_W_LOWBG)
     pairs_sql = tdops.sql_minhash_pairs(
-        "documents", D.DUCKDB, k=tdops.MINHASH_K_PROD,
-        bands=tdops.MINHASH_BANDS_PROD, tau=0.0)
+        "documents", D.DUCKDB, k=k, bands=bands, tau=0.0, shingle_w=w)
     bins = dict(con.execute(
         f"WITH o AS ({pairs_sql}) SELECT {BIN_SQL}, count(*) "
         "FROM o GROUP BY 1").fetchall())
     cand = sum(bins.values())
     ver = bins.get("j>=0.20", 0)
-    row = {"sf": sf, "docs": n, "cand_pairs": cand,
+    row = {"sf": sf, "tier": tier, "docs": n, "cand_pairs": cand,
            "cand_per_doc": round(cand / n, 3),
            "verified_pairs_tau": ver,
            "verified_per_doc": round(ver / n, 4),
@@ -57,7 +63,7 @@ def measure(sf: str) -> dict:
 
 def main() -> None:
     tiers = sys.argv[1:] or ["sf0.01", "sf0.1"]
-    rows = [measure(sf) for sf in tiers]
+    rows = [measure(sf, t) for sf in tiers for t in ("prod", "lowbg")]
     with open(os.path.join(REPO, "BENCH", "minhash_scale.json"), "w") as f:
         json.dump(rows, f, indent=1)
 

@@ -73,8 +73,9 @@ IVF_MAX_CELLS = 65536   # beyond ~16.7M rows occupancy grows linearly with
                         # N again — the next handoff is a second-level
                         # split (re-train / IVF-PQ), documented not hidden
 IVF_MAX_PROBE = 8       # query-side multi-probe ceiling
-IVF_LLOYD_ITERS = 1     # default Lloyd refinements (measured: +0.09 recall
-                        # at N=100k, +0.16 at N=1M, identical cand. work)
+IVF_LLOYD_ITERS = 2     # default Lloyd refinements (measured at identical
+                        # candidate work: N=100k recall .857→.944→.966,
+                        # N=1M .673→.782→.862 for 0/1/2 iterations)
 
 STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on", "for", "with")
 LANG_STOPS = {
@@ -540,10 +541,11 @@ def sql_embed_ivf(rel: str, dialect: str, dim: int = None,
          because integer addition is exactly associative — a plain
          SUM(double) depends on partition order and would break the
          bit-identical Spark==DuckDB parity the driver gate pins.
-         Measured effect (BENCH/ann_recall.json): at N = 100k recall
-         0.857 → 0.944 (1 iter) → 0.966 (2) at IDENTICAL candidate
-         work — sampled seeds are near-equidistant noise in high dim,
-         one mean step snaps them onto the data manifold.
+         Measured effect (BENCH/ann_recall.json) at IDENTICAL candidate
+         work: N = 100k recall 0.857 → 0.944 → 0.966 and N = 1M
+         0.673 → 0.782 → 0.862 for 0/1/2 iterations — sampled seeds
+         are near-equidistant noise in high dim, mean steps snap them
+         onto the data manifold.
       3. assignment: every vector ranks the final centroids by cosine
          (fixed-fold dot product → bit-identical doubles → identical
          ranks); rank 1 is the HOME cell, ranks ≤ nprobe are the PROBE
