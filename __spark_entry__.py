@@ -538,6 +538,37 @@ def _oracle_ids_seeded() -> str:
         _plan(), f"SELECT doc_id, hop, q FROM ({seeds}) s0", SEED_IDS_HOPS)
 
 
+def _q_media_features(spark, sf_dir):
+    """multimodal feature plumbing THROUGH the driver gate: the real
+    mapInPandas pass (operators/media.py — Arrow batches, fixed schema)
+    with the deterministic md5-derived fake decoder, hash-compared against
+    a DuckDB SQL render of the same byte math (the decode STUB boundary
+    stays: a real image decoder has no SQL oracle, the plumbing does)."""
+    from zentity_spark.operators.media import extract_media_features
+    corpus = corpus_dir_for_sf_dir(sf_dir)
+    docs = spark.read.parquet(os.path.join(corpus, "docs_spans.parquet"))
+    return extract_media_features(docs)
+
+
+def _oracle_media_features() -> str:
+    def byte(i: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * i + 1}, 2)) AS INTEGER)"
+    feat = ", ".join(f"{byte(4 + i)} / 256.0" for i in range(8))
+    return (
+        "WITH ms AS ("
+        "SELECT doc_id, s.media_ref AS media_ref, "
+        "md5(coalesce(s.media_ref, '')) AS h FROM ("
+        f"SELECT doc_id, unnest(spans) AS s FROM {_rel()}) t "
+        "WHERE s.kind = 'media') "
+        "SELECT doc_id, media_ref, 'image' AS media_kind, "
+        f"CAST(64 + {byte(0)} % 192 AS INTEGER) AS width, "
+        f"CAST(64 + {byte(1)} % 192 AS INTEGER) AS height, "
+        f"CAST(1 + {byte(2)} % 16 AS INTEGER) AS n_frames, "
+        f"CAST([{feat}] AS FLOAT[]) AS feature "
+        "FROM ms"
+    )
+
+
 def _oracle_media() -> str:
     return (
         "SELECT doc_id, "
@@ -621,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_increment_clusters": _q_increment_clusters,
         "er_seeded_hops": _q_seeded,
         "er_media_spans": _q_media,
+        "er_media_features": _q_media_features,
         "er_input_seeded": _q_input_seeded,
         "er_terms_seeded": _q_terms_seeded,
         "er_ids_seeded": _q_ids_seeded,
@@ -670,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
         "er_ids_seeded": _oracle_ids_seeded(),
         "er_scoped_clusters": _oracle_scoped_clusters(),
         "er_media_spans": _oracle_media(),
+        "er_media_features": _oracle_media_features(),
         "er2_extract_attributes": _oracle2_stage(
             "SELECT doc_id, source, attr, field, value_norm FROM attrs_x",
             upto="attrs_x"),

@@ -53,7 +53,10 @@ def _fake_decode_batch(pdf):
         width[i] = 64 + h[0] % 192
         height[i] = 64 + h[1] % 192
         frames[i] = 1 + h[2] % 16
-        feats.append([round(b / 255.0, 6) for b in h[4: 4 + FEATURE_DIM]])
+        # b/256 is an exact binary fraction (8 mantissa bits): float32-
+        # exact, and bit-identical to the DuckDB oracle's SQL render of
+        # the same md5 byte math (driver query er_media_features)
+        feats.append([b / 256.0 for b in h[4: 4 + FEATURE_DIM]])
     return pd.DataFrame({
         "doc_id": pdf["doc_id"],
         "media_ref": pdf["media_ref"],
