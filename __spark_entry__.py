@@ -616,6 +616,40 @@ def _td_query(name):
     return run
 
 
+def _q_td_dedup_groups(spark, sf_dir):
+    """the dedup ACTION, not just the pair list: low-background MinHash
+    near-dup pairs (which subsume exact dups at j = 1) → the ER engine's
+    large/small-star connected components → per-doc canonical id, i.e.
+    the keep-one map a training-data pipeline applies.  Scale shape:
+    pairs are measured O(N) on the lowbg tier (BENCH/MINHASH_SCALE.md)
+    and the CC is the same scale-safe operator the resolver uses."""
+    from zentity_spark.operators.cluster import connected_components
+    path = os.path.join(sf_dir, "documents.parquet")
+    pairs = (spark.sql(tdops.sql_minhash_lowbg_pairs(
+        f"parquet.`{path}`", D.SPARK)).select("doc_id_a", "doc_id_b"))
+    labels = connected_components(pairs)
+    docs = spark.read.parquet(path).select("doc_id")
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("entity_id", "doc_id").alias("canonical_id"))
+
+
+def _oracle_td_dedup_groups() -> str:
+    inner = tdops.sql_minhash_lowbg_pairs("documents", D.DUCKDB)
+    return (
+        "WITH RECURSIVE pairs AS (SELECT doc_id_a, doc_id_b FROM ("
+        + inner + ") p), "
+        "und AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs "
+        "UNION SELECT doc_id_b, doc_id_a FROM pairs), "
+        "reach AS (SELECT a, b FROM und UNION "
+        "SELECT r.a, e.b FROM reach r JOIN und e ON e.a = r.b "
+        "WHERE e.b <> r.a), "
+        "comp AS (SELECT a AS doc_id, least(min(b), a) AS canonical_id "
+        "FROM reach GROUP BY a) "
+        "SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id "
+        "FROM (SELECT doc_id FROM documents) d LEFT JOIN comp c USING (doc_id)"
+    )
+
+
 def _td_oracles() -> dict[str, str]:
     # driver pre-registers `documents` / `embeddings` views at sf0.01
     import duckdb
@@ -635,6 +669,7 @@ def _td_oracles() -> dict[str, str]:
     out["td_embed_ivf"] = tdops.sql_embed_ivf(
         "embeddings", D.DUCKDB, dim=_EMB_DIM, k_cells=k_cells,
         nprobe=nprobe, n_iter=tdops.IVF_LLOYD_ITERS)
+    out["td_dedup_groups"] = _oracle_td_dedup_groups()
     return out
 
 
@@ -642,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     td = {name: _td_query(name)
           for name in (list(tdops.DOC_OPS) + list(tdops.EMB_OPS)
                        + ["td_embed_ann", "td_embed_ivf"])}
+    td["td_dedup_groups"] = _q_td_dedup_groups
     return td | {
         "er_extract_attributes": _q_extract,
         "er_blocking_keys": _q_keys,
