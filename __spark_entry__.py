@@ -633,6 +633,51 @@ def _q_td_dedup_groups(spark, sf_dir):
         "doc_id", F.coalesce("entity_id", "doc_id").alias("canonical_id"))
 
 
+_EMB_DEDUP_TAU = 0.95   # near-identical vectors (dup embeddings), not
+                        # mere neighbors — the dedup notion for embeddings
+
+
+def _embed_ivf_sql(dialect: str, rel: str, n: int) -> str:
+    k_cells, nprobe = tdops.ivf_params_for(n)
+    return tdops.sql_embed_ivf(rel, dialect, dim=_EMB_DIM, k_cells=k_cells,
+                               nprobe=nprobe, n_iter=tdops.IVF_LLOYD_ITERS,
+                               tau=_EMB_DEDUP_TAU)
+
+
+def _q_td_embed_dedup_groups(spark, sf_dir):
+    """embedding-cosine near-dup dedup map: IVF candidates verified at
+    cosine ≥ 0.95 → star CC → per-vector canonical id (keep-one map) —
+    the embedding-side sibling of td_dedup_groups."""
+    from zentity_spark.operators.cluster import connected_components
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n = spark.read.parquet(path).count()
+    pairs = (spark.sql(_embed_ivf_sql(D.SPARK, f"parquet.`{path}`", n))
+             .select(F.col("vec_id_a").alias("doc_id_a"),
+                     F.col("vec_id_b").alias("doc_id_b")))
+    labels = connected_components(pairs)
+    vecs = spark.read.parquet(path).select(F.col("vec_id").alias("doc_id"))
+    return vecs.join(labels, "doc_id", "left").select(
+        F.col("doc_id").alias("vec_id"),
+        F.coalesce("entity_id", "doc_id").alias("canonical_id"))
+
+
+def _oracle_td_embed_dedup_groups(n: int) -> str:
+    inner = _embed_ivf_sql(D.DUCKDB, "embeddings", n)
+    return (
+        "WITH RECURSIVE pairs AS (SELECT vec_id_a, vec_id_b FROM ("
+        + inner + ") p), "
+        "und AS (SELECT vec_id_a AS a, vec_id_b AS b FROM pairs "
+        "UNION SELECT vec_id_b, vec_id_a FROM pairs), "
+        "reach AS (SELECT a, b FROM und UNION "
+        "SELECT r.a, e.b FROM reach r JOIN und e ON e.a = r.b "
+        "WHERE e.b <> r.a), "
+        "comp AS (SELECT a AS vec_id, least(min(b), a) AS canonical_id "
+        "FROM reach GROUP BY a) "
+        "SELECT v.vec_id, coalesce(c.canonical_id, v.vec_id) AS canonical_id "
+        "FROM (SELECT vec_id FROM embeddings) v LEFT JOIN comp c USING (vec_id)"
+    )
+
+
 def _oracle_td_dedup_groups() -> str:
     inner = tdops.sql_minhash_lowbg_pairs("documents", D.DUCKDB)
     return (
@@ -670,6 +715,7 @@ def _td_oracles() -> dict[str, str]:
         "embeddings", D.DUCKDB, dim=_EMB_DIM, k_cells=k_cells,
         nprobe=nprobe, n_iter=tdops.IVF_LLOYD_ITERS)
     out["td_dedup_groups"] = _oracle_td_dedup_groups()
+    out["td_embed_dedup_groups"] = _oracle_td_embed_dedup_groups(n)
     return out
 
 
@@ -678,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           for name in (list(tdops.DOC_OPS) + list(tdops.EMB_OPS)
                        + ["td_embed_ann", "td_embed_ivf"])}
     td["td_dedup_groups"] = _q_td_dedup_groups
+    td["td_embed_dedup_groups"] = _q_td_embed_dedup_groups
     return td | {
         "er_extract_attributes": _q_extract,
         "er_blocking_keys": _q_keys,
