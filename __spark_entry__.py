@@ -678,6 +678,24 @@ def _oracle_td_embed_dedup_groups(n: int) -> str:
     )
 
 
+def _q_td_increment_dedup(spark, sf_dir):
+    """incremental dedup fold (operators/dedup.py): ingest the documents
+    table as two hash-split increments, return the keep-one groups map.
+    The oracle is the BATCH recursive-CTE labeling — a green entry IS the
+    fold(Δ) == batch(D ∪ Δ) contract, driver-checked (the td sibling of
+    er_increment_clusters)."""
+    import tempfile
+    from zentity_spark.operators.dedup import IncrementalDeduper
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    state = tempfile.mkdtemp(prefix="dedup_", dir=_stage_cache_base())
+    d = IncrementalDeduper(spark, state)
+    d.fold(docs.where("pmod(xxhash64(doc_id), 5) < 4"))
+    d.fold(docs.where("pmod(xxhash64(doc_id), 5) >= 4"))
+    return d.groups().select(
+        "doc_id", F.col("canonical_id").alias("canonical_id"))
+
+
 def _oracle_td_dedup_groups() -> str:
     inner = tdops.sql_minhash_lowbg_pairs("documents", D.DUCKDB)
     return (
@@ -715,6 +733,7 @@ def _td_oracles() -> dict[str, str]:
         "embeddings", D.DUCKDB, dim=_EMB_DIM, k_cells=k_cells,
         nprobe=nprobe, n_iter=tdops.IVF_LLOYD_ITERS)
     out["td_dedup_groups"] = _oracle_td_dedup_groups()
+    out["td_increment_dedup"] = _oracle_td_dedup_groups()  # fold == batch
     out["td_embed_dedup_groups"] = _oracle_td_embed_dedup_groups(n)
     return out
 
@@ -724,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           for name in (list(tdops.DOC_OPS) + list(tdops.EMB_OPS)
                        + ["td_embed_ann", "td_embed_ivf"])}
     td["td_dedup_groups"] = _q_td_dedup_groups
+    td["td_increment_dedup"] = _q_td_increment_dedup
     td["td_embed_dedup_groups"] = _q_td_embed_dedup_groups
     return td | {
         "er_extract_attributes": _q_extract,

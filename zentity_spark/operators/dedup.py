@@ -1,0 +1,189 @@
+"""Incremental near-duplicate detection: fold document increments into a
+standing dedup state WITHOUT recomputing old×old candidates — the
+training-data sibling of operators/incremental.py's resolver fold.
+
+A 100-TB corpus cannot re-shingle and re-join everything when a day's
+documents arrive; every stage here is built so the fold touches only Δ:
+
+  * shingles and LSH band keys are PER-DOCUMENT derivations (the same
+    dual-dialect SQL the batch ops run — ``tdops.sql_shingles`` /
+    ``sql_minhash_bands``), so stage(D ∪ Δ) = stage(D) ∪ stage(Δ) and the
+    state just appends the Δ rows;
+  * Δ candidates probe the combined band-key table with only the new
+    docs' bands (broadcast when the increment is small): no shuffle of
+    old bands, no old×old join.  Every batch pair (a, b) is discovered at
+    the fold of its LATER member, exactly once;
+  * exact-Jaccard verification joins candidate docs' shingle sets only.
+
+Correctness contract (tests/test_dedup.py; driver query
+``td_increment_dedup`` pins it against the recursive-CTE batch oracle):
+
+    fold(Δ1); …; fold(Δk)   ==   batch near-dup pairs over Δ1 ∪ … ∪ Δk
+
+exactly — same pairs, same jaccards, same groups.  Assumes doc_ids are
+unique across increments (re-ingesting a doc_id would duplicate its
+rows, as in the resolver fold).
+
+State layout under ``state_dir`` (all writes via io.Storage; every
+per-increment write is an OVERWRITE of ``inc=<fold_id>`` so a replayed
+fold — e.g. a Structured Streaming micro-batch retry — replaces its own
+partial output instead of appending duplicates; CURRENT commits via
+atomic rename):
+
+    docs/inc=<i>    (doc_id)                    universe for groups()
+    sh/inc=<i>      (doc_id, shingle)
+    bands/inc=<i>   (doc_id, band, band_key)
+    pairs/inc=<i>   (doc_id_a, doc_id_b, jaccard)  pairs fold i discovered
+    CURRENT         {"fold_id": i}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from zentity_spark import dialect as D
+from zentity_spark import tdops
+from zentity_spark.io import Storage
+from zentity_spark.operators.cluster import (broadcast_row_budget,
+                                             connected_components)
+
+# conservative per-row width of a (doc_id, band, band_key) probe row for
+# byte-gating the Δ-band broadcast
+_BAND_ROW_BYTES = 48.0
+
+
+class IncrementalDeduper:
+    """Stateful incremental MinHash near-dup detection.  Defaults are the
+    low-background production tier (BENCH/MINHASH_SCALE.md); pass the
+    oracle/prod tier parameters to mirror those ops instead.  Not
+    thread-safe; one writer per state_dir."""
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 k: int = tdops.MINHASH_K_LOWBG,
+                 bands: int = tdops.MINHASH_BANDS_LOWBG,
+                 shingle_w: int = tdops.MINHASH_SHINGLE_W_LOWBG,
+                 tau: float = tdops.JACCARD_TAU,
+                 storage: Storage | None = None):
+        self.spark = spark
+        self.storage = storage if storage is not None else Storage(spark)
+        self.k, self.bands, self.shingle_w, self.tau = k, bands, shingle_w, tau
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+        self._ptr = os.path.join(state_dir, "CURRENT")
+        # observability for tests: executed plan of the last Δ probe join
+        self.last_probe_plan: str | None = None
+
+    # ---------- state helpers ----------
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.state_dir, stage)
+
+    def _part(self, stage: str, fold_id: int) -> str:
+        return os.path.join(self._path(stage), f"inc={fold_id}")
+
+    def committed_fold_id(self) -> int:
+        if not os.path.exists(self._ptr):
+            return -1
+        with open(self._ptr) as f:
+            return json.load(f).get("fold_id", -1)
+
+    def _read_upto(self, stage: str, fold_id: int) -> DataFrame:
+        return (self.storage.read(self._path(stage))
+                .where(F.col("inc") <= fold_id))
+
+    # ---------- fold ----------
+
+    def fold(self, delta: DataFrame, fold_id: int | None = None) -> DataFrame:
+        """ingest one increment; returns the NEW verified pairs (each batch
+        pair surfaces at the fold of its later member, exactly once).
+        ``fold_id`` lets a streaming caller pin the increment to its
+        micro-batch id (replays overwrite their own inc dirs; gaps from
+        skipped empty batches are fine — reads filter ``inc <= committed``)."""
+        i = self.committed_fold_id() + 1 if fold_id is None else fold_id
+        delta = delta.select("doc_id", "text")
+        # resolve the view in the DELTA's session: a foreachBatch
+        # micro-batch arrives on a cloned session, not self.spark
+        sess = delta.sparkSession
+        view = "_dedup_delta"
+        delta.createOrReplaceTempView(view)
+        sh_d = sess.sql(tdops.sql_shingles(view, D.SPARK, self.shingle_w))
+        bands_d = sess.sql(tdops.sql_minhash_bands(
+            view, D.SPARK, self.k, self.bands, self.shingle_w))
+        self.storage.write(delta.select("doc_id"), self._part("docs", i))
+        self.storage.write(sh_d, self._part("sh", i))
+        self.storage.write(bands_d, self._part("bands", i))
+
+        # Δ probe: new docs' bands against ALL bands (incl. inc=i → Δ×Δ);
+        # reading the probe back from state keeps a replayed fold a pure
+        # function of the state bytes
+        probe = (self.storage.read(self._part("bands", i))
+                 .select("doc_id", "band", "band_key"))
+        n_probe = probe.count()
+        if 0 < n_probe <= broadcast_row_budget(self.spark, _BAND_ROW_BYTES):
+            probe = F.broadcast(probe)
+        all_bands = (self._read_upto("bands", i)
+                     .select("doc_id", "band", "band_key"))
+        cand = (all_bands.alias("o")
+                .join(probe.alias("p"), ["band", "band_key"])
+                .where(F.col("o.doc_id") != F.col("p.doc_id"))
+                .select(F.least("o.doc_id", "p.doc_id").alias("a"),
+                        F.greatest("o.doc_id", "p.doc_id").alias("b"))
+                .distinct())
+        self.last_probe_plan = cand._jdf.queryExecution().executedPlan() \
+                                   .toString()
+
+        # exact-Jaccard verify over the candidate docs' full shingle sets —
+        # identical math to tdops._jaccard_verify_sql (ratio of ints)
+        sh_all = self._read_upto("sh", i).select("doc_id", "shingle")
+        nsh = sh_all.groupBy("doc_id").agg(F.count("*").alias("n"))
+        inter = (cand
+                 .join(sh_all.alias("sa"),
+                       F.col("sa.doc_id") == F.col("a"))
+                 .join(sh_all.alias("sb"),
+                       (F.col("sb.doc_id") == F.col("b"))
+                       & (F.col("sb.shingle") == F.col("sa.shingle")))
+                 .groupBy("a", "b").agg(F.count("*").alias("ninter")))
+        pairs_i = (inter
+                   .join(nsh.alias("na"), F.col("na.doc_id") == F.col("a"))
+                   .join(nsh.alias("nb"), F.col("nb.doc_id") == F.col("b"))
+                   .select(F.col("a").alias("doc_id_a"),
+                           F.col("b").alias("doc_id_b"),
+                           (F.col("ninter").cast("double")
+                            / (F.col("na.n") + F.col("nb.n")
+                               - F.col("ninter")).cast("double"))
+                           .alias("jaccard"))
+                   .where(F.col("jaccard") >= self.tau))
+        self.storage.write(pairs_i, self._part("pairs", i))
+        tmp = self._ptr + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"fold_id": i}, f)
+        os.replace(tmp, self._ptr)
+        return self.storage.read(self._part("pairs", i)) \
+                   .select("doc_id_a", "doc_id_b", "jaccard")
+
+    # ---------- read views ----------
+
+    def pairs(self) -> DataFrame:
+        """all verified near-dup pairs over every committed increment —
+        equals the batch op's output over the same documents."""
+        cur = self.committed_fold_id()
+        if cur < 0:
+            raise ValueError("no increments folded yet")
+        return (self._read_upto("pairs", cur)
+                .select("doc_id_a", "doc_id_b", "jaccard"))
+
+    def groups(self) -> DataFrame:
+        """(doc_id, canonical_id) keep-one map over ALL ingested docs —
+        the incremental twin of the td_dedup_groups driver query."""
+        cur = self.committed_fold_id()
+        if cur < 0:
+            raise ValueError("no increments folded yet")
+        labels = connected_components(
+            self.pairs().select("doc_id_a", "doc_id_b"))
+        docs = self._read_upto("docs", cur).select("doc_id")
+        return docs.join(labels, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("entity_id", "doc_id").alias("canonical_id"))

@@ -258,6 +258,24 @@ def _minhash_cand_ctes(dialect: str, k: int, bands: int) -> list:
     ]
 
 
+def sql_shingles(rel: str, dialect: str, w: int = 3) -> str:
+    """per-doc DISTINCT ``w``-token shingles — the per-document stage an
+    incremental fold can append (stage(D ∪ Δ) = stage(D) ∪ stage(Δ))."""
+    return _with(_shingle_ctes(rel, dialect, w),
+                 "SELECT doc_id, shingle FROM sh")
+
+
+def sql_minhash_bands(rel: str, dialect: str, k: int = MINHASH_K,
+                      bands: int = MINHASH_BANDS, shingle_w: int = 3) -> str:
+    """per-doc LSH band keys (doc_id, band, band_key) — corpus-independent
+    per-document derivation, so an incremental fold's Δ band keys equal
+    the batch computation's rows for those docs exactly."""
+    ctes = (_shingle_ctes(rel, dialect, shingle_w)
+            + _minhash_cand_ctes(dialect, k, bands))
+    keep = [c for c in ctes if c[0] != "cand"]   # all-pairs join not needed
+    return _with(keep, "SELECT doc_id, band, band_key FROM bands")
+
+
 def sql_minhash_pairs(rel: str, dialect: str, k: int = MINHASH_K,
                       bands: int = MINHASH_BANDS,
                       tau: float = JACCARD_TAU, shingle_w: int = 3) -> str:
