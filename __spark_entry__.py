@@ -292,6 +292,22 @@ def _q2_ids_seeded(spark, sf_dir):
         ids=SEED2_IDS, max_hops=SEED2_IDS_HOPS))
 
 
+# model-2 scope: drop the company/balance resolver and the hottest holder
+# value — exercises resolver + value scoping on the jw/ngram model
+SCOPED2 = dict(exclude_resolvers=("r_company_balance",),
+               exclude_values=(("holder", "madir martt"),))
+
+
+def _q2_scoped_clusters(spark, sf_dir):
+    """clusters of the SECOND model under a restricted request scope —
+    the er2 analog of er_scoped_clusters (scope machinery is
+    model-agnostic, but the jw/ngram key paths it prunes are not)."""
+    corpus = corpus2_dir(os.path.basename(os.path.normpath(sf_dir)))
+    docs = spark.read.parquet(os.path.join(corpus, "docs2_spans.parquet"))
+    job = ResolutionJob(spark, docs, _model2(), scope=Scope(**SCOPED2))
+    return job.clusters().select("doc_id", "entity_id")
+
+
 def _q2_increment_clusters(spark, sf_dir):
     """incremental fold over the SECOND model (jw/ngram matchers, number +
     boolean attributes, dd/MM/yyyy dates) — er_increment_clusters covers
@@ -469,6 +485,15 @@ def _oracle2_input_seeded() -> str:
         plan, "SELECT doc_id, 0 AS hop, 0 AS q FROM seed_docs_x",
         SEED2_INPUT_HOPS, extra_pre=plan.seed_ctes(probe, D.DUCKDB),
         rel=_rel2())
+
+
+def _oracle2_scoped_clusters() -> str:
+    from zentity_spark.plans.compiler import compile_model
+    plan = compile_model(_model2(), Scope(**SCOPED2))
+    extra = [(n, s.format(rel=_rel2())) for n, s in _CC_EXTRA]
+    return plan.sql(D.DUCKDB, _rel2(),
+                    "SELECT doc_id, entity_id FROM labels",
+                    extra=extra, recursive=True)
 
 
 def _oracle2_terms_seeded() -> str:
@@ -775,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er2_cluster_sizes": _q2_cluster_sizes,
         "er2_input_seeded": _q2_input_seeded,
         "er2_terms_seeded": _q2_terms_seeded,
+        "er2_scoped_clusters": _q2_scoped_clusters,
         "er2_ids_seeded": _q2_ids_seeded,
         "er2_increment_clusters": _q2_increment_clusters,
     }
@@ -832,6 +858,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY entity_id HAVING count(*) > 1"),
         "er2_input_seeded": _oracle2_input_seeded(),
         "er2_terms_seeded": _oracle2_terms_seeded(),
+        "er2_scoped_clusters": _oracle2_scoped_clusters(),
         "er2_ids_seeded": _oracle2_ids_seeded(),
         # incremental fold == batch, so the batch clustering oracle applies
         "er2_increment_clusters": _oracle2_clusters(
