@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Incremental dedup fold vs batch re-dedup, measured.
+
+The td sibling of scripts/incremental_bench.py: synthesize a
+deterministic text corpus with planted near-dups (seed 42 — the same
+synthesise-at-small-scale rule the interleaved corpus follows),
+bootstrap a hash-split 99% into ``IncrementalDeduper`` state, then time
+fold(1%) against a full-batch `sql_minhash_lowbg_pairs` over 100%.
+
+The structural claim being evidenced: the fold's cost is the Δ shingle/
+band derivation + the Δ-band probe + verification of candidate docs
+only, while batch cost grows with the corpus — so the ratio falls as N
+grows, which is the operating mode a 100-TB corpus absorbing daily
+increments needs.  Correctness of the fold is pinned elsewhere
+(tests/test_dedup.py fold==batch; driver query td_increment_dedup).
+
+Corpus shape: ~60-token docs of seeded random words; 5% of docs get a
+near-dup twin (one token changed); 20% carry a shared 12-token
+boilerplate prefix (the template-background regime — suppressed by the
+lowbg tier's w=5 shingles, so candidates stay O(N)).
+
+Results -> BENCH/dedup_bench.json.  Usage:
+  python scripts/dedup_bench.py [N ...]    (default: 20000 100000)
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from zentity_spark import dialect as D, tdops           # noqa: E402
+from zentity_spark.operators.dedup import IncrementalDeduper  # noqa: E402
+from zentity_spark.session import get_spark             # noqa: E402
+
+BOILER = " ".join(f"tmpl{i}" for i in range(12))
+
+
+def synth_rows(n: int, seed: int = 42) -> list:
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows = []
+    doc_id = 0
+    while len(rows) < n:
+        toks = [vocab[j] for j in rng.randint(0, len(vocab), 60)]
+        text = " ".join(toks)
+        if rng.rand() < 0.2:
+            text = BOILER + " " + text
+        rows.append((doc_id, text))
+        doc_id += 1
+        if rng.rand() < 0.05 and len(rows) < n:     # planted near-dup twin
+            toks2 = list(toks)
+            toks2[rng.randint(0, len(toks2))] = "edited"
+            rows.append((doc_id, " ".join(toks2)))
+            doc_id += 1
+    return rows[:n]
+
+
+def _steal():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
+
+def timed(fn):
+    t0, (tot0, st0) = time.time(), _steal()
+    out = fn()
+    wall = time.time() - t0
+    tot1, st1 = _steal()
+    steal = 100.0 * (st1 - st0) / max(1, tot1 - tot0)
+    return out, round(wall, 2), round(steal, 1)
+
+
+def measure(n: int, spark) -> dict:
+    rows = synth_rows(n)
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+                .repartition(32).cache()
+    docs.count()
+    base = docs.where("pmod(xxhash64(doc_id), 100) < 99")
+    delta = docs.where("pmod(xxhash64(doc_id), 100) >= 99")
+    n_delta = delta.count()
+
+    docs.createOrReplaceTempView("_dd_bench")
+    batch_sql = tdops.sql_minhash_lowbg_pairs("_dd_bench", D.SPARK)
+    batch_pairs, batch_wall, batch_steal = timed(
+        lambda: spark.sql(batch_sql).count())
+
+    state = tempfile.mkdtemp(prefix="dedup_bench_")
+    try:
+        d = IncrementalDeduper(spark, state)
+        _, boot_wall, boot_steal = timed(lambda: d.fold(base).count())
+        new_pairs, fold_wall, fold_steal = timed(
+            lambda: d.fold(delta).count())
+        total_pairs = d.pairs().count()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    docs.unpersist()
+    row = {
+        "n_docs": n, "n_delta": n_delta,
+        "batch_pairs": batch_pairs, "total_pairs_after_fold": total_pairs,
+        "pairs_match": batch_pairs == total_pairs,
+        "batch_wall_s": batch_wall, "batch_steal_pct": batch_steal,
+        "bootstrap_wall_s": boot_wall, "bootstrap_steal_pct": boot_steal,
+        "fold_wall_s": fold_wall, "fold_steal_pct": fold_steal,
+        "fold_over_batch": round(fold_wall / batch_wall, 3),
+        "delta_new_pairs": new_pairs,
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [20000, 100000]
+    spark = get_spark(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    rows = [measure(n, spark) for n in sizes]
+    with open(os.path.join(REPO, "BENCH", "dedup_bench.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

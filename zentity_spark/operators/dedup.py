@@ -136,8 +136,21 @@ class IncrementalDeduper:
                                    .toString()
 
         # exact-Jaccard verify over the candidate docs' full shingle sets —
-        # identical math to tdops._jaccard_verify_sql (ratio of ints)
+        # identical math to tdops._jaccard_verify_sql (ratio of ints).
+        # The shingle table is restricted to CANDIDATE docs first (gated
+        # broadcast semi-join): without it the per-doc count would
+        # aggregate all N docs' shingles every fold — an O(N) shuffle the
+        # fold must not pay (the remaining O(N) cost is the storage scan
+        # itself, prunable with doc_id bucketing/bloom at catalog scale).
         sh_all = self._read_upto("sh", i).select("doc_id", "shingle")
+        cand_docs = (cand.select(F.col("a").alias("doc_id"))
+                     .union(cand.select(F.col("b").alias("doc_id")))
+                     .distinct())
+        n_cd = cand_docs.count()
+        if 0 < n_cd <= broadcast_row_budget(self.spark, 16.0):
+            cand_docs = F.broadcast(cand_docs)
+        if n_cd > 0:
+            sh_all = sh_all.join(cand_docs, "doc_id", "left_semi")
         nsh = sh_all.groupBy("doc_id").agg(F.count("*").alias("n"))
         inter = (cand
                  .join(sh_all.alias("sa"),
