@@ -167,7 +167,8 @@ def ivf_assign(ids: np.ndarray, vecs: np.ndarray, k_cells: int,
     return probes[:, 0], probes
 
 
-def measure_ivf(spec: str, tau: float = TAU) -> dict:
+def measure_ivf(spec: str, tau: float = TAU,
+                nprobe_override: int | None = None) -> dict:
     """IVF recall at corpus-derived (k_cells, nprobe) against the same
     brute-force ground truth as measure(): a truth pair (a, b) is found
     iff home(b) ∈ probes(a) or home(a) ∈ probes(b) — exactly the
@@ -175,6 +176,8 @@ def measure_ivf(spec: str, tau: float = TAU) -> dict:
     ids, vecs = load_corpus(spec)
     n = len(ids)
     k_cells, nprobe = tdops.ivf_params_for(n)
+    if nprobe_override is not None:
+        nprobe = nprobe_override
     n_iter = tdops.IVF_LLOYD_ITERS
     nrm = np.linalg.norm(vecs, axis=1)
     q = min(SAMPLE, n)
@@ -358,6 +361,26 @@ def crosscheck_sql(spec: str) -> None:
         f"numpy vs SQL candidate mismatch: {len(np_set)} vs {len(sql_set)}")
     print(f"crosscheck ok: numpy candidate set == SQL candidate set "
           f"({len(np_set)} pairs at n={n})", flush=True)
+
+
+def ablate_nprobe(spec: str = "synth:1000000",
+                  values: tuple = (4, 16)) -> None:
+    """nprobe ablation at the handoff tier: appends rows (algo='ivf',
+    nprobe=v) into ann_recall.json so the recall-vs-work knob has a
+    measured curve, not just the default point.
+    Usage: python -c "import sys; sys.path.insert(0,'scripts');
+           from ann_recall import ablate_nprobe; ablate_nprobe()" """
+    out = os.path.join(REPO, "BENCH", "ann_recall.json")
+    with open(out) as f:
+        rows = json.load(f)
+    for v in values:
+        row = measure_ivf(spec, nprobe_override=v)
+        rows = [r for r in rows
+                if not (r.get("algo") == "ivf" and r.get("corpus") == spec
+                        and r.get("nprobe") == v)] + [row]
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"wrote {out}")
 
 
 def main() -> None:

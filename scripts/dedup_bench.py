@@ -79,50 +79,94 @@ def timed(fn):
     return out, round(wall, 2), round(steal, 1)
 
 
-def measure(n: int, spark) -> dict:
+def _corpus(n: int, spark):
     rows = synth_rows(n)
     docs = spark.createDataFrame(rows, "doc_id long, text string") \
                 .repartition(32).cache()
     docs.count()
     base = docs.where("pmod(xxhash64(doc_id), 100) < 99")
     delta = docs.where("pmod(xxhash64(doc_id), 100) >= 99")
-    n_delta = delta.count()
+    return docs, base, delta
 
-    docs.createOrReplaceTempView("_dd_bench")
-    batch_sql = tdops.sql_minhash_lowbg_pairs("_dd_bench", D.SPARK)
-    batch_pairs, batch_wall, batch_steal = timed(
-        lambda: spark.sql(batch_sql).count())
 
-    state = tempfile.mkdtemp(prefix="dedup_bench_")
-    try:
-        d = IncrementalDeduper(spark, state)
+def measure(n: int, spark, phase: str = "all") -> dict:
+    """phase 'all' | 'batch' | 'fold' — larger tiers split phases across
+    processes so each invocation stays under the sandbox's ~20-min
+    process killer; rows merge by n_docs in the store."""
+    docs, base, delta = _corpus(n, spark)
+    row: dict = {"n_docs": n}
+    if phase in ("all", "batch"):
+        docs.createOrReplaceTempView("_dd_bench")
+        batch_sql = tdops.sql_minhash_lowbg_pairs("_dd_bench", D.SPARK)
+        batch_pairs, batch_wall, batch_steal = timed(
+            lambda: spark.sql(batch_sql).count())
+        row |= {"batch_pairs": batch_pairs, "batch_wall_s": batch_wall,
+                "batch_steal_pct": batch_steal}
+    persist_state = os.path.join(REPO, ".cache", f"dedup_bench_{n}")
+    if phase == "boot":
+        # killer-safe split: bootstrap into a persistent state dir; a
+        # later 'foldonly' invocation folds Δ against it
+        shutil.rmtree(persist_state, ignore_errors=True)
+        os.makedirs(persist_state, exist_ok=True)
+        d = IncrementalDeduper(spark, persist_state)
         _, boot_wall, boot_steal = timed(lambda: d.fold(base).count())
+        row |= {"bootstrap_wall_s": boot_wall,
+                "bootstrap_steal_pct": boot_steal}
+    if phase == "foldonly":
+        row["n_delta"] = delta.count()
+        d = IncrementalDeduper(spark, persist_state)
         new_pairs, fold_wall, fold_steal = timed(
             lambda: d.fold(delta).count())
-        total_pairs = d.pairs().count()
-    finally:
-        shutil.rmtree(state, ignore_errors=True)
+        row |= {"total_pairs_after_fold": d.pairs().count(),
+                "fold_wall_s": fold_wall, "fold_steal_pct": fold_steal,
+                "delta_new_pairs": new_pairs}
+        shutil.rmtree(persist_state, ignore_errors=True)
+    if phase in ("all", "fold"):
+        row["n_delta"] = delta.count()
+        state = tempfile.mkdtemp(prefix="dedup_bench_")
+        try:
+            d = IncrementalDeduper(spark, state)
+            _, boot_wall, boot_steal = timed(lambda: d.fold(base).count())
+            new_pairs, fold_wall, fold_steal = timed(
+                lambda: d.fold(delta).count())
+            total_pairs = d.pairs().count()
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
+        row |= {"total_pairs_after_fold": total_pairs,
+                "bootstrap_wall_s": boot_wall,
+                "bootstrap_steal_pct": boot_steal,
+                "fold_wall_s": fold_wall, "fold_steal_pct": fold_steal,
+                "delta_new_pairs": new_pairs}
     docs.unpersist()
-    row = {
-        "n_docs": n, "n_delta": n_delta,
-        "batch_pairs": batch_pairs, "total_pairs_after_fold": total_pairs,
-        "pairs_match": batch_pairs == total_pairs,
-        "batch_wall_s": batch_wall, "batch_steal_pct": batch_steal,
-        "bootstrap_wall_s": boot_wall, "bootstrap_steal_pct": boot_steal,
-        "fold_wall_s": fold_wall, "fold_steal_pct": fold_steal,
-        "fold_over_batch": round(fold_wall / batch_wall, 3),
-        "delta_new_pairs": new_pairs,
-    }
     print(json.dumps(row), flush=True)
     return row
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [20000, 100000]
+    # one size per invocation is the killer-safe mode on this sandbox
+    # (~20-min process cap); results MERGE into the store by n_docs
+    specs = sys.argv[1:] or ["20000", "100000"]
     spark = get_spark(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-    rows = [measure(n, spark) for n in sizes]
-    with open(os.path.join(REPO, "BENCH", "dedup_bench.json"), "w") as f:
-        json.dump(rows, f, indent=1)
+    out = os.path.join(REPO, "BENCH", "dedup_bench.json")
+    store = []
+    if os.path.exists(out):
+        with open(out) as f:
+            store = json.load(f)
+    for spec in specs:
+        n, _, phase = spec.partition("@")
+        n, phase = int(n), phase or "all"
+        row = measure(n, spark, phase)
+        prior = next((r for r in store if r["n_docs"] == n), {})
+        row = prior | row
+        if "batch_wall_s" in row and "fold_wall_s" in row:
+            row["pairs_match"] = (row.get("batch_pairs")
+                                  == row.get("total_pairs_after_fold"))
+            row["fold_over_batch"] = round(
+                row["fold_wall_s"] / row["batch_wall_s"], 3)
+        store = [r for r in store if r["n_docs"] != n] + [row]
+        store.sort(key=lambda r: r["n_docs"])
+        with open(out, "w") as f:
+            json.dump(store, f, indent=1)
 
 
 if __name__ == "__main__":
