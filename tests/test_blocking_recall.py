@@ -118,8 +118,8 @@ def test_fuzzy_blocking_recall_property(spark):
     bases = ["kim", "lee", "anna", "maria", "carton", "barton", "vasquez",
              "catherine", "montgomery", "john smith", "maria garcia lopez",
              "ab", "xu", "harrington",
-             # len-12+ values: exercise the round-4 f4/f5 gram bands and
-             # their seams with f3 (VERDICT r3 next #1)
+             # len-12+ values: exercise the long-value f4 gram band and
+             # its seam with f3 (VERDICT r3 next #1, re-cut round 5)
              "christopherson", "anastasia petrova", "constantinopolis",
              "alexandra fitzgerald montague"]
     values = []
@@ -186,7 +186,7 @@ def test_f2_band_boundaries_and_duplicate_grams(spark):
     lev > (min_len-n+1)/n >= 3 > 2 at each band's lower edge.  These are
     the cases where that argument is tightest: repeated-gram values, and
     pairs straddling every emission-band seam — e1/f2 (len 5/6), f2/f3
-    (len 9-10), f3/f4 (len 12-13), f4/f5 (len 16-17)."""
+    (len 7-8), f3/f4 (len 14-15) — plus interior lengths of each band."""
     cases = [
         ("aaaaaa", "aaaaab"),        # dup grams: a emits only {aa}
         ("aaaaaa", "aabaab"),        # dup grams, 2 interior subs
@@ -196,14 +196,16 @@ def test_f2_band_boundaries_and_duplicate_grams(spark):
         ("abcdefghi", "abcdefghijk"),  # 9 vs 11: min 9 -> k=2, f3 shared
         ("abcdefgh", "abcdefghij"),    # 8 vs 10: f2 band both ends
         ("abcdefghij", "zzcdefghij"),  # len 10/10: 2 subs at f2 upper edge
-        # round-4 f3/f4/f5 seams (VERDICT r3 next #1)
-        ("abcdefghijk", "abcdefghijklm"),    # 11 vs 13: f3 band [9,13]
-        ("abcdefghijklm", "zzcdefghijklm"),  # 13/13 2 subs: f3 upper edge
-        ("abcdefghijkl", "abcdefghijklmn"),  # 12 vs 14: f4 band [12,17]
-        ("abcdefghijklmno", "abcdefghijklmnoqq"),  # 15 vs 17: f4 band
-        ("abcdefghijklmnop", "zzcdefghijklmnop"),  # 16/16 2 subs: f5 edge
-        ("abcdefghijklmnopqr", "abcdefghijklmnopqrtt"),  # 18 vs 20: f5 only
-        # dup-gram adversary at the f5 lower edge (emits few distinct grams)
+        # f3 interior + the round-5 f3/f4 seam at len 14-15
+        ("abcdefghijk", "abcdefghijklm"),    # 11 vs 13: f3 band [7,15]
+        ("abcdefghijklm", "zzcdefghijklm"),  # 13/13 2 subs: f3 interior
+        ("abcdefghijkl", "abcdefghijklmn"),  # 12 vs 14: f3 band both ends
+        ("abcdefghijklm", "abcdefghijklmno"),   # 13 vs 15: f3 band seam
+        ("abcdefghijklmn", "abcdefghijklmnop"),  # 14 vs 16: f4 band [14,∞)
+        ("abcdefghijklmno", "abcdefghijklmnoqq"),  # 15 vs 17: f4 shared
+        ("abcdefghijklmnop", "zzcdefghijklmnop"),  # 16/16 2 subs: f4 only
+        ("abcdefghijklmnopqr", "abcdefghijklmnopqrtt"),  # 18 vs 20: f4 only
+        # dup-gram adversary at the f4 lower edge (emits few distinct grams)
         ("aaaaaaaaaaaaaaaa", "aaaaaaaabaaaaaaab"),
     ]
     values = sorted({v for pair in cases for v in pair})
