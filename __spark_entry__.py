@@ -272,9 +272,19 @@ def _q2_input_seeded(spark, sf_dir):
         attributes=SEED2_INPUT, max_hops=SEED2_INPUT_HOPS))
 
 
-SEED2_TERMS = ["madir martt", "1000.00"]   # holder/company string + balance
-SEED2_TERMS_HOPS = 2                        # number — exercises model-2 term
-SEED2_IDS = ["e-000000", "e-000002"]        # coercion across types
+# Terms coerce across model-2's types: the name lands in BOTH string
+# attrs (holder + company), the date parses only under the dd/MM/yyyy
+# attr format, the number reaches balance.  A date term is REQUIRED for
+# any propagation: both resolvers are 2-attr ANDs, and (holder, opened)
+# is the only pair a term probe can co-satisfy — the r4 seed list
+# ["madir martt", "1000.00"] satisfied no resolver and was a vacuous
+# 0-row green (VERDICT r4 wrong #3).  The truncated holder "miria walw"
+# jw-reaches only part of acct-000018's variant chain at hop 0, so the
+# snowball ADDS docs at hop 1 (4 rows, hops {0, 1} at sf0.01) — the
+# propagation loop is genuinely exercised, not just the coercion.
+SEED2_TERMS = ["miria walw", "01/04/1970", "1000.00"]
+SEED2_TERMS_HOPS = 2
+SEED2_IDS = ["e-000000", "e-000002"]
 SEED2_IDS_HOPS = 2
 
 
@@ -569,16 +579,28 @@ def _q_media_features(spark, sf_dir):
     with the deterministic md5-derived fake decoder, hash-compared against
     a DuckDB SQL render of the same byte math (the decode STUB boundary
     stays: a real image decoder has no SQL oracle, the plumbing does)."""
+    from pyspark.sql import functions as F
     from zentity_spark.operators.media import extract_media_features
     corpus = corpus_dir_for_sf_dir(sf_dir)
     docs = spark.read.parquet(os.path.join(corpus, "docs_spans.parquet"))
-    return extract_media_features(docs)
+    # GATE SHAPE (VERDICT r4 wrong #2): the driver hash-canonicalizes by
+    # pandas sort over every column, and an ARRAY column is unhashable
+    # there — so the gate projects the feature vector to a canonical csv
+    # of its exact integer numerators (values are b/256 with b ∈ [0,255]:
+    # x*256 is integer-exact in float32, no formatting ambiguity).  The
+    # library API (extract_media_features) keeps the typed array.
+    feats = extract_media_features(docs)
+    return feats.select(
+        "doc_id", "media_ref", "media_kind", "width", "height", "n_frames",
+        F.expr("concat_ws(',', transform(feature, "
+               "x -> cast(round(x * 256) as int)))").alias("feature_csv"))
 
 
 def _oracle_media_features() -> str:
     def byte(i: int) -> str:
         return f"CAST(('0x' || substr(h, {2 * i + 1}, 2)) AS INTEGER)"
-    feat = ", ".join(f"{byte(4 + i)} / 256.0" for i in range(8))
+    feat = " || ',' || ".join(
+        f"CAST({byte(4 + i)} AS VARCHAR)" for i in range(8))
     return (
         "WITH ms AS ("
         "SELECT doc_id, s.media_ref AS media_ref, "
@@ -589,7 +611,7 @@ def _oracle_media_features() -> str:
         f"CAST(64 + {byte(0)} % 192 AS INTEGER) AS width, "
         f"CAST(64 + {byte(1)} % 192 AS INTEGER) AS height, "
         f"CAST(1 + {byte(2)} % 16 AS INTEGER) AS n_frames, "
-        f"CAST([{feat}] AS FLOAT[]) AS feature "
+        f"{feat} AS feature_csv "
         "FROM ms"
     )
 
