@@ -665,7 +665,10 @@ def _td_query(name):
 
 def _q_td_dedup_groups(spark, sf_dir):
     """the dedup ACTION, not just the pair list: low-background MinHash
-    near-dup pairs (which subsume exact dups at j = 1) → the ER engine's
+    near-dup pairs (which subsume exact dups at j = 1 for docs long
+    enough to shingle; docs with < MINHASH_SHINGLE_W_LOWBG tokens emit
+    no shingles and keep both copies — union td_exact_dupes pairs first
+    when short-doc dedup matters) → the ER engine's
     large/small-star connected components → per-doc canonical id, i.e.
     the keep-one map a training-data pipeline applies.  Scale shape:
     pairs are measured O(N) on the lowbg tier (BENCH/MINHASH_SCALE.md)

@@ -256,10 +256,12 @@ def crosscheck_ivf_sql(spec: str) -> None:
     con = duckdb.connect()
     con.execute("CREATE OR REPLACE VIEW embeddings AS SELECT vec_id, "
                 f"embedding FROM read_parquet('{spec}')")
+    # tau = -2.0 (below any cosine) disables the threshold so the SQL set
+    # is the raw candidate set — robust, unlike editing the rendered SQL
+    # (a silent no-op replace would compare filtered vs unfiltered sets)
     sql = tdops.sql_embed_ivf("embeddings", D.DUCKDB, dim=DIM,
                               k_cells=k_cells, nprobe=nprobe,
-                              n_iter=n_iter)
-    sql = sql.replace(f"WHERE cosine >= {tdops.ANN_COS_TAU!r}", "")
+                              n_iter=n_iter, tau=-2.0)
     sql_set = {(a, b) for a, b in con.execute(
         "WITH out AS (" + sql + ") SELECT vec_id_a, vec_id_b FROM out"
     ).fetchall()}

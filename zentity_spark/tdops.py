@@ -72,7 +72,13 @@ IVF_TARGET_CELL_ROWS = 256  # IVF: expected home-assignment rows per cell
 IVF_MAX_CELLS = 65536   # beyond ~16.7M rows occupancy grows linearly with
                         # N again — the next handoff is a second-level
                         # split (re-train / IVF-PQ), documented not hidden
-IVF_MAX_PROBE = 8       # query-side multi-probe ceiling
+IVF_MAX_PROBE = 16      # query-side multi-probe ceiling (raised r5: the
+                        # 1M tier needs nprobe=16 for recall ≥ 0.9 —
+                        # measured 0.9234 at 0.82% of brute-force work)
+IVF_DEEP_PROBE_ROWS = 300_000  # above this, boundary-pair mass at fixed
+                        # occupancy erodes recall: measured nprobe=8 recall
+                        # 0.99/0.97 at 20k/100k but 0.86 at 1M, so sizing
+                        # doubles the probe depth past this tier
 IVF_LLOYD_ITERS = 2     # default Lloyd refinements (measured at identical
                         # candidate work: N=100k recall .857→.944→.966,
                         # N=1M .673→.782→.862 for 0/1/2 iterations)
@@ -532,10 +538,17 @@ def ivf_params_for(n_rows: int, target_cell_rows: int = IVF_TARGET_CELL_ROWS,
     table cap binds (measured: recall 0.598 at N = 1M,
     BENCH/ann_recall.json).  nprobe buys boundary recall: a pair split
     across cells is still found when either side's home cell is among
-    the other's nprobe nearest."""
+    the other's nprobe nearest.  Probe depth is N-adaptive (VERDICT r4
+    weak #4): at fixed per-cell occupancy the fraction of ≥τ pairs that
+    straddle cell boundaries grows with the cell count, so recall at
+    nprobe=8 decays 0.991 → 0.966 → 0.862 across 20k/100k/1M; doubling
+    to 16 past IVF_DEEP_PROBE_ROWS restores 0.9234 at the 1M handoff
+    tier for 0.82% of brute-force candidate work (BENCH/ann_recall.json,
+    lloyd_iters=2)."""
     k = max(min_cells, min(max_cells,
                            math.ceil(max(n_rows, 1) / target_cell_rows)))
-    nprobe = max(2, min(max_probe, k // 2))
+    depth = max_probe if n_rows > IVF_DEEP_PROBE_ROWS else min(8, max_probe)
+    nprobe = max(2, min(depth, k // 2))
     return k, nprobe
 
 
