@@ -101,3 +101,28 @@ def test_bounded_label_propagation_zero_hops(spark):
     got = {r["doc_id"]: r["hop"] for r in
            bounded_label_propagation(edges, seeds, max_hops=0).collect()}
     assert got == {"d1": 0}
+
+
+def test_cc_wide_ids_identical_labels(spark):
+    """128-bit node-id mode (VERDICT r4 missing #4): the struct-of-two-
+    hashes ids flow through the same star rounds and restore EXACTLY the
+    labels of the 64-bit mode on the fixture corpus's match edges."""
+    from zentity_spark.model import Model
+    from zentity_spark.operators.cluster import connected_components_by_hash
+    from zentity_spark.pipeline import ResolutionJob
+
+    docs = spark.read.parquet("fixtures/sf0.001/docs_spans.parquet")
+    model = Model.parse(open("fixtures/model_person.json").read())
+    edges = (ResolutionJob(spark, docs, model).match_edges()
+             .select("doc_id_a", "doc_id_b").localCheckpoint())
+    narrow = {(r["doc_id"], r["entity_id"]) for r in
+              connected_components_by_hash(edges).collect()}
+    wide = {(r["doc_id"], r["entity_id"]) for r in
+            connected_components_by_hash(edges, wide_ids=True).collect()}
+    assert narrow == wide and len(narrow) > 0
+    # and through the job-level flag: full clusters() output identical
+    base = ResolutionJob(spark, docs, model).clusters() \
+        .select("doc_id", "entity_id").collect()
+    w = ResolutionJob(spark, docs, model, wide_cc_ids=True).clusters() \
+        .select("doc_id", "entity_id").collect()
+    assert {tuple(r) for r in base} == {tuple(r) for r in w}

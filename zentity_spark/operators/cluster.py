@@ -190,8 +190,9 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 
 
 def connected_components_by_hash(edges: DataFrame,
-                                 max_iter: int = 50) -> DataFrame:
-    """connected components over 64-bit hashed node ids, canonical labels
+                                 max_iter: int = 50,
+                                 wide_ids: bool = False) -> DataFrame:
+    """connected components over hashed node ids, canonical labels
     restored afterwards → labels(doc_id, entity_id = min doc_id string of
     the component).
 
@@ -203,9 +204,19 @@ def connected_components_by_hash(edges: DataFrame,
     canonical lexicographic label the oracle expects.
 
     xxhash64 collisions would merge two docs (p ≈ n²/2⁶⁵ — negligible at
-    sandbox scale; a 10¹²-doc deployment should widen to 128-bit ids, e.g.
-    two independent hash columns)."""
-    h = lambda c: F.expr(f"xxhash64({c})")
+    sandbox scale, real at 10¹² docs).  ``wide_ids=True`` widens node ids
+    to 128 bits: a struct of two independently-seeded xxhash64 columns
+    (a merge then needs BOTH to collide, p ≈ n²/2¹²⁹ — comfortable at
+    10¹²).  The star rounds are id-type-agnostic (least/greatest/min/
+    groupBy order structs field-wise), so the same loop runs over 16-byte
+    struct ids at ~2× shuffle width; labels are pinned identical across
+    modes by tests/test_cluster.py."""
+    if wide_ids:
+        h = lambda c: F.struct(
+            F.expr(f"xxhash64({c})").alias("h1"),
+            F.expr(f"xxhash64({c}, 1)").alias("h2"))
+    else:
+        h = lambda c: F.expr(f"xxhash64({c})")
     ie = edges.select(h("doc_id_a").alias("doc_id_a"),
                       h("doc_id_b").alias("doc_id_b"))
     labels_h = connected_components(ie, max_iter=max_iter)

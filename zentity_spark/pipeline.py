@@ -36,9 +36,13 @@ class ResolutionJob:
     def __init__(self, spark: SparkSession, docs: DataFrame, model: Model,
                  scope: Scope | None = None, block_cap: int = 1000,
                  checkpoint_dir: str | None = None,
-                 storage: "Storage | None" = None):
+                 storage: "Storage | None" = None,
+                 wide_cc_ids: bool = False):
         self.spark = spark
         self.docs = docs
+        # 128-bit CC node ids for 10¹²-doc deployments (labels identical
+        # by test; ~2× CC shuffle width) — see connected_components_by_hash
+        self.wide_cc_ids = wide_cc_ids
         self.storage = storage if storage is not None else Storage(spark)
         self._ckpt_dir = checkpoint_dir
         self._owns_ckpt_dir = checkpoint_dir is None
@@ -371,7 +375,8 @@ class ResolutionJob:
             edges = self.match_edges() \
                 .select("doc_id_a", "doc_id_b").localCheckpoint()
         labels = connected_components_by_hash(
-            edges.select("doc_id_a", "doc_id_b"))
+            edges.select("doc_id_a", "doc_id_b"),
+            wide_ids=self.wide_cc_ids)
         return (
             self.docs.join(labels, "doc_id", "left")
             .select(
