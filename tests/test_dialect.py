@@ -173,6 +173,11 @@ _FMT_CASES = {
                                "2020-06-07T12:00:00Z", "junk"],
     "yyyy-MM-dd HH:mm:ss Z": ["2020-01-01 22:00:00 -0500",
                               "2020-01-01 03:00:00 +0500", "junk"],
+    # Java reduced year (round 5): base 2000, ALL of 00-99 → 2000-2099;
+    # values straddle the C %y 69-pivot the DuckDB render corrects for
+    "dd/MM/yy": ["31/12/69", "01/01/00", "15/06/68", "29/02/96",
+                 "05/11/99", "31/12/1969", "junk"],
+    "yy-MM-dd": ["69-12-31", "00-01-01", "99-11-05", "bad"],
 }
 
 
@@ -191,11 +196,12 @@ def test_date_format_validation():
     for ok in list(_FMT_CASES) + ["yyyy-MM-dd", "dd/MM/yyyy",
                                   "'on' yyyy-MM-dd 'it''s' HH:mm"]:
         D.validate_date_format(ok)
-    # zone NAMES (z/VV), era, week-year, reduced-year stay rejected;
-    # offsets (X/XX/XXX/Z) are supported since round 4
+    # zone NAMES (z/VV), era, week-year stay rejected; offsets
+    # (X/XX/XXX/Z) supported since round 4, reduced year (yy) since
+    # round 5
     for bad in ["yyyy-MM-dd z", "yyyy-MM-dd VV", "epoch_micros",
                 "yyyy-'MM-dd", "GGGG-MM-dd", "yyyy-MM-dd HH:mm:ss.SS",
-                "yy-MM-dd", "YYYY-ww"]:
+                "YYYY-ww"]:
         with pytest.raises(ValueError):
             D.validate_date_format(bad)
 

@@ -73,13 +73,18 @@ def norm_city(c: str, dialect: str) -> str:
 # DateTimeFormatter alphabet).  We translate the subset with faithful
 # equivalents in BOTH oracle engines (DuckDB strptime, Python
 # datetime.strptime); Model.parse REJECTS formats containing anything
-# else — zone/offset tokens (X/Z/z), week/era fields, etc. — instead of
-# silently mistranslating on the oracle side.
+# else — zone NAMES (z/VV), week/era fields, etc. — instead of silently
+# mistranslating on the oracle side (SURVEY Appendix E marks those as
+# permanently out of scope: no faithful strptime equivalent exists).
 _DATE_TOKENS = {
     # java run: (duckdb/C strptime, python strptime)
-    # NO "yy": Java's reduced-year base (2000-2099) disagrees with the
-    # C/Python %y pivot (1969-2068) — rejected rather than mistranslated.
     "yyyy": ("%Y", "%Y"),
+    # Java's reduced year: base 2000, ALL of 00-99 → 2000-2099 (and Spark's
+    # CORRECTED parser follows Java — verified: '69' under 'yy' → 2069).
+    # C/Python %y pivots at 69 (00-68 → 2000s, 69-99 → 1900s), so the
+    # DuckDB render post-corrects: parsed years 1969-1999 get +100y in
+    # norm_date.  The two mappings then agree on every input 00-99.
+    "yy": ("%y", "%y"),
     "MM": ("%m", "%m"), "M": ("%m", "%m"),
     "dd": ("%d", "%d"), "d": ("%d", "%d"),
     "HH": ("%H", "%H"), "H": ("%H", "%H"),
@@ -184,6 +189,10 @@ def norm_date(c: str, dialect: str, fmt: str = "yyyy-MM-dd") -> str:
             # Java's X tokens admit a literal 'Z' for +00:00; %z doesn't
             arg = f"regexp_replace({arg}, 'Z$', '+00:00')"
         ts = f"try_strptime({arg}, '{java_date_fmt_to_c(fmt)}')"
+        if "yy" in toks:
+            # %y's 69-pivot → Java's base-2000 window (see _DATE_TOKENS)
+            ts = (f"CASE WHEN year({ts}) BETWEEN 1969 AND 1999 "
+                  f"THEN {ts} + INTERVAL 100 YEAR ELSE {ts} END")
         if has_offset:
             # %z yields TIMESTAMPTZ: render the UTC calendar date
             # explicitly so the result is session-timezone independent
