@@ -658,6 +658,16 @@ def _td_query(name):
             return spark.sql(tdops.sql_embed_ivf(
                 rel, D.SPARK, dim=_EMB_DIM, k_cells=k_cells, nprobe=nprobe,
                 n_iter=tdops.IVF_LLOYD_ITERS))
+        if name == "td_embed_ivf2":
+            # hierarchical IVF — the declared handoff past the flat cell
+            # cap (~16.7M rows): per-level caps multiply, assignment is
+            # N·(k1 + nprobe1·k2) instead of N·K dot products.
+            n = spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")).count()
+            k1, k2, p1, p2 = tdops.ivf2_params_for(n)
+            return spark.sql(tdops.sql_embed_ivf2(
+                rel, D.SPARK, dim=_EMB_DIM, k1=k1, k2=k2, nprobe1=p1,
+                nprobe2=p2, n_iter=tdops.IVF_LLOYD_ITERS))
         fn = {**tdops.DOC_OPS, **tdops.EMB_OPS}[name]
         return spark.sql(fn(rel, D.SPARK))
     return run
@@ -782,6 +792,10 @@ def _td_oracles() -> dict[str, str]:
     out["td_embed_ivf"] = tdops.sql_embed_ivf(
         "embeddings", D.DUCKDB, dim=_EMB_DIM, k_cells=k_cells,
         nprobe=nprobe, n_iter=tdops.IVF_LLOYD_ITERS)
+    k1, k2, p1, p2 = tdops.ivf2_params_for(n)
+    out["td_embed_ivf2"] = tdops.sql_embed_ivf2(
+        "embeddings", D.DUCKDB, dim=_EMB_DIM, k1=k1, k2=k2,
+        nprobe1=p1, nprobe2=p2, n_iter=tdops.IVF_LLOYD_ITERS)
     out["td_dedup_groups"] = _oracle_td_dedup_groups()
     out["td_increment_dedup"] = _oracle_td_dedup_groups()  # fold == batch
     out["td_embed_dedup_groups"] = _oracle_td_embed_dedup_groups(n)
@@ -791,7 +805,8 @@ def _td_oracles() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     td = {name: _td_query(name)
           for name in (list(tdops.DOC_OPS) + list(tdops.EMB_OPS)
-                       + ["td_embed_ann", "td_embed_ivf"])}
+                       + ["td_embed_ann", "td_embed_ivf",
+                          "td_embed_ivf2"])}
     td["td_dedup_groups"] = _q_td_dedup_groups
     td["td_increment_dedup"] = _q_td_increment_dedup
     td["td_embed_dedup_groups"] = _q_td_embed_dedup_groups

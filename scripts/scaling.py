@@ -281,6 +281,44 @@ engine's plans themselves are shuffle-partitioned, salted, and JVM-side
 throughout (VERDICT r2 plan audit); all runs are reported for full
 transparency.
 
+## Round 5 — gram-band regression closed (same-hour A/B vs 509e579)
+
+VERDICT r4 wrong #1: the round-4 5-band gram scheme grew blocking-key
+rows +33% at identical pair output (seam double-emission on the modal
+name lengths, multiplied through the composite cross); the judge's
+same-hour side-by-side measured e2e 1.19x (sf0.1) / 1.43x (sf0.3) vs
+the r3-end engine.  Round 5 re-cut to three bands (f2 len 6-8, f3 7-15,
+f4 >= 14), keeping sentinel padding and the per-band q-gram
+completeness lemma; measured at sf0.01 (scripts/band_ab.py): key rows
+117,367 -> 90,325 (r3: 88,256), composite rows 131,993 -> 91,922,
+capped pair mass 277,346 -> 212,015, match edges bit-identical (19,482)
+for every candidate cut.
+
+A/B per the judge's protocol: git worktree at 509e579 sharing the
+identical cached corpus, ALTERNATING bench invocations (BENCH_REPEAT=3,
+min over the post-warmup tail of clean runs, steal sampled per run),
+pooled min-of-clean per engine per tier.  Raw data:
+BENCH/AB_r5_band.jsonl + AB_r5_band_diag.jsonl.
+
+| tier | r3-end (509e579) min-clean | r5 HEAD min-clean | ratio |
+|---|---|---|---|
+| sf0.1 (2+2 interleaved invocations) | 35.99 s | 37.37 s | **1.038** |
+| sf0.3 (2+2 interleaved invocations) | 67.20 s | 70.04 s | **1.042** |
+
+Both tiers are <= the 1.05x done-bar.  Caveats, for honesty: the
+within-engine spread at sf0.3 is wide on this box (head invocation mins
+70.0 vs 92.5; r3 67.2 vs 77.1; single runs range 67-137 s at <= 1.8%
+steal — the documented steal-invisible bandwidth co-tenant), so the
+residual ~4% is inside environment noise in both directions, and one
+pairing put HEAD ahead outright (70.0 vs 77.1).  Per-stage diagnostics
+agree with the key-volume mechanism: blocking_keys 15.3-15.9 s (r3) vs
+17.0 s (head) at sf0.3 with pairs/edges/CC within mutual noise — vs the
+r4 engine's +23%/+28% pairs/edges regression.  The sf0.1 tier table
+above was re-anchored at the r5 engine the same hour (local[2] 125.3 s
+/ local[8] 56.1 s clean; the local[32] cell found NO clean run in 3
+tries — every run carried 3.1-4.1% steal, so its quoted 41.2 s
+overstates the true wall).
+
 {chr(10).join(tier_blocks)}"""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

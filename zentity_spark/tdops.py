@@ -69,9 +69,11 @@ ANN_TABLES = 4          # banded sign-LSH: independent hash tables; a pair
 ANN_BITS = 10           # hyperplanes per table → 1024 buckets per table
 ANN_COS_TAU = 0.0       # report all in-bucket pairs above this cosine
 IVF_TARGET_CELL_ROWS = 256  # IVF: expected home-assignment rows per cell
-IVF_MAX_CELLS = 65536   # beyond ~16.7M rows occupancy grows linearly with
-                        # N again — the next handoff is a second-level
-                        # split (re-train / IVF-PQ), documented not hidden
+IVF_MAX_CELLS = 65536   # flat IVF: beyond ~16.7M rows occupancy grows
+                        # linearly with N again; past that the declared
+                        # handoff is sql_embed_ivf2 (hierarchical IVF —
+                        # per-level cell caps multiply, and assignment
+                        # work drops from N·K to N·(k1 + nprobe1·k2))
 IVF_MAX_PROBE = 16      # query-side multi-probe ceiling (raised r5: the
                         # 1M tier needs nprobe=16 for recall ≥ 0.9 —
                         # measured 0.9234 at 0.82% of brute-force work)
@@ -650,6 +652,169 @@ def sql_embed_ivf(rel: str, dialect: str, dim: int = None,
          "greatest(p.vec_id, h.vec_id) AS vec_id_b "
          "FROM ranked p JOIN ranked h ON h.cell = p.cell AND h.rk = 1 "
          "AND h.vec_id <> p.vec_id"),
+        ("cand", "SELECT c.vec_id_a, c.vec_id_b, "
+                 f"({dot} / (va.nrm * vb.nrm)) AS cosine FROM cand_ids c "
+                 "JOIN vecs va ON va.vec_id = c.vec_id_a "
+                 "JOIN vecs vb ON vb.vec_id = c.vec_id_b"),
+    ]
+    return _with(ctes,
+                 "SELECT vec_id_a, vec_id_b, cosine FROM cand "
+                 f"WHERE cosine >= {tau!r}")
+
+
+def ivf2_params_for(n_rows: int,
+                    target_cell_rows: int = IVF_TARGET_CELL_ROWS,
+                    min_cells: int = 2, max_cells: int = IVF_MAX_CELLS,
+                    coarse_probe: int = 4,
+                    max_probe: int = IVF_MAX_PROBE) -> tuple:
+    """(k1, k2, nprobe1, nprobe2) sizing for sql_embed_ivf2.
+
+    Fine-cell count K = k1·k2 ≈ N / target_cell_rows holds occupancy, as
+    in the flat sizing — but split √K × √K so each level's centroid table
+    stays small: per-level caps MULTIPLY (K ≤ 65,536² ≈ 4.3B fine cells,
+    i.e. ~10¹² rows at target 256 — the 10¹²-doc tier the flat cap cannot
+    reach), and assignment cost drops from N·K dot products to
+    N·(k1 + nprobe1·k2).  nprobe2 follows the flat depth rule (8, deepened
+    to 16 past IVF_DEEP_PROBE_ROWS); nprobe1 coarse probes bound the
+    level-1 boundary loss."""
+    kk = max(1, math.ceil(max(n_rows, 1) / target_cell_rows))
+    k1 = max(min_cells, min(max_cells, math.ceil(math.sqrt(kk))))
+    k2 = max(min_cells, min(max_cells, math.ceil(kk / k1)))
+    p1 = max(2, min(coarse_probe, k1))
+    depth = max_probe if n_rows > IVF_DEEP_PROBE_ROWS else min(8, max_probe)
+    p2 = max(2, min(depth, (k1 * k2) // 2))
+    return k1, k2, p1, p2
+
+
+def sql_embed_ivf2(rel: str, dialect: str, dim: int = None,
+                   k1: int = 4, k2: int = 4, nprobe1: int = 2,
+                   nprobe2: int = 2, n_iter: int = 0,
+                   tau: float = ANN_COS_TAU) -> str:
+    """Hierarchical (two-level) IVF ANN — the declared handoff once the
+    flat IVF cell cap binds (IVF_MAX_CELLS: past ~16.7M rows flat
+    occupancy grows linearly again, and flat assignment is N·K dot
+    products — 10¹² × 65,536 is unpayable).
+
+    Structure (all dual-dialect SQL, same determinism machinery as
+    sql_embed_ivf — md5-ordered seeds, fixed-point BIGINT Lloyd sums,
+    fixed-fold dot products, total-ordered rank windows):
+
+      1. level 1: k1 coarse cells — seeds + ``n_iter`` Lloyd exactly as
+         the flat op; every vector gets a coarse HOME (rk=1) and
+         nprobe1 coarse PROBES.
+      2. level 2: within each coarse cell independently, k2 sub-cells —
+         seeds are the k2 smallest-md5 members of the cell, then
+         ``n_iter`` Lloyd refinements with composite (cell, sub) group
+         keys; a vector's level-2 Lloyd assignment stays inside its
+         coarse home (standard hierarchical IVF training).
+      3. search: each vector ranks the sub-centroids of its nprobe1
+         probed coarse cells; rank 1 is its fine HOME list, ranks
+         ≤ nprobe2 its fine probe set.  Candidates = probe ⋈ home on
+         (cell, sub); exact cosine verify ≥ tau.
+
+    Scale shape: assignment/search is N·(k1 + nprobe1·k2) dot products
+    vs the flat op's N·K — at N = 16.7M/target 256 (K = 65,536:
+    k1 = k2 = 256, nprobe1 = 4) that is ~51× less work, and the per-level
+    cell caps multiply to ~4.3B fine cells ≈ 10¹² rows at constant
+    occupancy.  Candidate-join volume stays ~nprobe2 · N · target rows,
+    linear in N at fixed parameters.  Empty coarse cells simply have no
+    sub-table rows (probing them yields nothing); sub-cells emptied by a
+    Lloyd step drop out of the regrouped centroid table exactly as in
+    the flat op."""
+    if n_iter > 0 and dim is None:
+        raise ValueError("Lloyd refinement (n_iter > 0) needs dim")
+    sty = _sty(dialect)
+    h = D.md5_int64(f"CAST(vec_id AS {sty})", dialect)
+    hv = D.md5_int64(f"CAST(v.vec_id AS {sty})", dialect)
+    dot = _dot("va.embedding", "vb.embedding", dialect)
+    cos1 = (f"({_dot('v.embedding', 'c.cemb', dialect)} / (v.nrm * c.cnrm))")
+    cos2 = (f"({_dot('v.embedding', 's.cemb', dialect)} / (v.nrm * s.cnrm))")
+
+    def ranked1_sql(cents: str, max_rk) -> str:
+        return (f"SELECT vec_id, cell, rk FROM ("
+                f"SELECT v.vec_id, c.cell, row_number() OVER ("
+                f"PARTITION BY v.vec_id ORDER BY {cos1} DESC, "
+                f"c.cell) AS rk "
+                f"FROM vecs v CROSS JOIN {cents} c) r WHERE rk <= {max_rk}")
+
+    if dialect == D.DUCKDB:
+        elem = "v.embedding[CAST(j + 1 AS INTEGER)]"
+        arr = ("list_transform(list_sort(list({'j': j, 'm': m})), "
+               "x -> x.m)")
+    else:
+        elem = "element_at(v.embedding, CAST(j + 1 AS INT))"
+        arr = "transform(array_sort(collect_list(struct(j, m))), x -> x.m)"
+    fx = (f"CAST(floor(CAST({elem} AS DOUBLE) * {IVF_FIXED_SCALE!r} "
+          f"+ 0.5) AS BIGINT)")
+
+    ctes = [
+        _norm_cte(rel, dialect),
+        ("c1_0",
+         f"SELECT rn - 1 AS cell, embedding AS cemb, nrm AS cnrm FROM ("
+         f"SELECT embedding, nrm, row_number() OVER (ORDER BY {h}, vec_id) "
+         f"AS rn FROM vecs) t WHERE rn <= {k1}"),
+    ]
+    if n_iter > 0:
+        ctes.append(("js_0", _seq(dim, dialect)))
+    for i in range(n_iter):
+        ctes += [
+            (f"h1_{i}", ranked1_sql(f"c1_{i}", 1)),
+            (f"s1_{i}",
+             f"SELECT a.cell, j, sum({fx}) AS s, count(*) AS c "
+             f"FROM h1_{i} a JOIN vecs v ON v.vec_id = a.vec_id "
+             f"CROSS JOIN js_0 GROUP BY a.cell, j"),
+            (f"c1_{i + 1}",
+             f"SELECT cell, cemb, "
+             f"sqrt({_dot('cemb', 'cemb', dialect)}) AS cnrm FROM ("
+             f"SELECT cell, {arr} AS cemb FROM ("
+             f"SELECT cell, j, CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) "
+             f"* {IVF_FIXED_SCALE!r}) AS m FROM s1_{i}) u "
+             f"GROUP BY cell) g"),
+        ]
+    ctes += [
+        ("ranked1", ranked1_sql(f"c1_{n_iter}", nprobe1)),
+        ("home1", "SELECT vec_id, cell FROM ranked1 WHERE rk = 1"),
+        ("sub_0",
+         f"SELECT cell, rn - 1 AS sub, cemb, cnrm FROM ("
+         f"SELECT hh.cell, v.embedding AS cemb, v.nrm AS cnrm, "
+         f"row_number() OVER (PARTITION BY hh.cell ORDER BY {hv}, "
+         f"v.vec_id) AS rn "
+         f"FROM home1 hh JOIN vecs v ON v.vec_id = hh.vec_id) t "
+         f"WHERE rn <= {k2}"),
+    ]
+    for i in range(n_iter):
+        ctes += [
+            (f"h2_{i}",
+             f"SELECT vec_id, cell, sub FROM ("
+             f"SELECT hh.vec_id, s.cell, s.sub, row_number() OVER ("
+             f"PARTITION BY hh.vec_id ORDER BY {cos2} DESC, s.sub) AS rk "
+             f"FROM home1 hh JOIN sub_{i} s ON s.cell = hh.cell "
+             f"JOIN vecs v ON v.vec_id = hh.vec_id) r WHERE rk = 1"),
+            (f"s2_{i}",
+             f"SELECT a.cell, a.sub, j, sum({fx}) AS s, count(*) AS c "
+             f"FROM h2_{i} a JOIN vecs v ON v.vec_id = a.vec_id "
+             f"CROSS JOIN js_0 GROUP BY a.cell, a.sub, j"),
+            (f"sub_{i + 1}",
+             f"SELECT cell, sub, cemb, "
+             f"sqrt({_dot('cemb', 'cemb', dialect)}) AS cnrm FROM ("
+             f"SELECT cell, sub, {arr} AS cemb FROM ("
+             f"SELECT cell, sub, j, CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) "
+             f"* {IVF_FIXED_SCALE!r}) AS m FROM s2_{i}) u "
+             f"GROUP BY cell, sub) g"),
+        ]
+    ctes += [
+        ("fsub",
+         f"SELECT vec_id, cell, sub, rk FROM ("
+         f"SELECT p.vec_id, s.cell, s.sub, row_number() OVER ("
+         f"PARTITION BY p.vec_id ORDER BY {cos2} DESC, s.cell, s.sub) "
+         f"AS rk "
+         f"FROM ranked1 p JOIN sub_{n_iter} s ON s.cell = p.cell "
+         f"JOIN vecs v ON v.vec_id = p.vec_id) r WHERE rk <= {nprobe2}"),
+        ("cand_ids",
+         "SELECT DISTINCT least(p.vec_id, h.vec_id) AS vec_id_a, "
+         "greatest(p.vec_id, h.vec_id) AS vec_id_b "
+         "FROM fsub p JOIN fsub h ON h.cell = p.cell AND h.sub = p.sub "
+         "AND h.rk = 1 AND h.vec_id <> p.vec_id"),
         ("cand", "SELECT c.vec_id_a, c.vec_id_b, "
                  f"({dot} / (va.nrm * vb.nrm)) AS cosine FROM cand_ids c "
                  "JOIN vecs va ON va.vec_id = c.vec_id_a "
