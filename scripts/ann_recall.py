@@ -272,6 +272,174 @@ def crosscheck_ivf_sql(spec: str) -> None:
           f"({len(np_set)} pairs at n={n})", flush=True)
 
 
+def ivf2_assign(ids: np.ndarray, vecs: np.ndarray, k1: int, k2: int,
+                nprobe1: int, nprobe2: int,
+                n_iter: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """(fine_home, fine_probes) mirroring sql_embed_ivf2 exactly:
+    level 1 = ivf_assign (same seeds / fixed-point Lloyd / rank order);
+    level-2 seeds are the k2 smallest-md5 members of each coarse cell;
+    level-2 Lloyd assignment is confined to the coarse home; the final
+    ranking runs over the nprobe1 probed coarse cells' live subs with
+    the SQL's tie order (cos desc, cell asc, sub asc).  Fine cells are
+    encoded cell * k2 + sub; probe slots with no live allowed sub are
+    -1 (the SQL simply emits no row there)."""
+    n = len(ids)
+    dt = np.float64 if n <= 200_000 else np.float32
+    S = float(tdops.IVF_FIXED_SCALE)
+    home1, probes1 = ivf_assign(ids, vecs, k1, nprobe1, n_iter)
+    h = np.array([_md5_60(v) for v in ids], dtype=np.uint64)
+    K = k1 * k2
+    cents = np.zeros((K, vecs.shape[1]), dtype=np.float64)
+    live = np.zeros(K, dtype=bool)
+    order = np.lexsort((ids, h))
+    taken = np.zeros(k1, dtype=np.int64)
+    for i in order:
+        c = int(home1[i])
+        if taken[c] < k2:
+            f = c * k2 + taken[c]
+            cents[f] = vecs[i]
+            live[f] = True
+            taken[c] += 1
+    nrm = np.linalg.norm(vecs, axis=1).astype(dt)
+    vecs_dt = vecs.astype(dt)
+    cell_of = np.arange(K) // k2
+
+    def rank_fine(width: int, restrict_home: bool) -> np.ndarray:
+        cnrm = np.linalg.norm(cents, axis=1)
+        cnrm[~live] = 1.0
+        cs, cn = cents.astype(dt), cnrm.astype(dt)
+        out = np.full((n, width), -1, dtype=np.int64)
+        for s0 in range(0, n, 2000):
+            e0 = min(n, s0 + 2000)
+            cos = (vecs_dt[s0:e0] @ cs.T) / np.outer(nrm[s0:e0], cn)
+            cos[:, ~live] = -np.inf
+            if restrict_home:
+                allowed = cell_of[None, :] == home1[s0:e0, None]
+            else:
+                allowed = (cell_of[None, :, None]
+                           == probes1[s0:e0, None, :]).any(-1)
+            cos[~allowed] = -np.inf
+            top = np.argpartition(-cos, min(width, K - 1),
+                                  axis=1)[:, :width]
+            rowi = np.arange(e0 - s0)[:, None]
+            sub = cos[rowi, top]
+            sort = np.lexsort((top, -sub), axis=1)  # cos desc, fine asc
+            arr, vals = top[rowi, sort], sub[rowi, sort]
+            arr[np.isneginf(vals)] = -1
+            out[s0:e0] = arr
+        return out
+
+    for _ in range(n_iter):
+        fh = rank_fine(1, True)[:, 0]
+        fx = np.floor(vecs.astype(np.float64) * S + 0.5).astype(np.int64)
+        sums = np.zeros((K, vecs.shape[1]), dtype=np.int64)
+        np.add.at(sums, fh, fx)
+        cnt = np.bincount(fh, minlength=K)
+        live = cnt > 0
+        cents = np.where(live[:, None],
+                         sums / np.maximum(cnt, 1)[:, None] / S, cents)
+    probes = rank_fine(nprobe2, False)
+    return probes[:, 0], probes
+
+
+def crosscheck_ivf2_sql(spec: str) -> None:
+    """numpy ivf2 (home, probes) == the shipped two-level SQL's candidate
+    set (N = 2,000) — ties the 1M measurement to the gated SQL."""
+    import duckdb
+    ids, vecs = load_corpus(spec)
+    n = len(ids)
+    k1, k2, p1, p2 = tdops.ivf2_params_for(n)
+    n_iter = tdops.IVF_LLOYD_ITERS
+    home, probes = ivf2_assign(ids, vecs, k1, k2, p1, p2, n_iter)
+    np_set = set()
+    by_home: dict = {}
+    for i, c in enumerate(home):
+        by_home.setdefault(int(c), []).append(i)
+    for i in range(n):
+        for c in probes[i]:
+            if c < 0:
+                continue
+            for j in by_home.get(int(c), ()):
+                if j != i:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    np_set.add((a, b))
+    con = duckdb.connect()
+    con.execute("CREATE OR REPLACE VIEW embeddings AS SELECT vec_id, "
+                f"embedding FROM read_parquet('{spec}')")
+    sql = tdops.sql_embed_ivf2("embeddings", D.DUCKDB, dim=DIM,
+                               k1=k1, k2=k2, nprobe1=p1, nprobe2=p2,
+                               n_iter=n_iter, tau=-2.0)
+    sql_set = {(a, b) for a, b in con.execute(
+        "WITH out AS (" + sql + ") SELECT vec_id_a, vec_id_b FROM out"
+    ).fetchall()}
+    assert np_set == sql_set, (
+        f"numpy vs SQL ivf2 candidate mismatch: {len(np_set)} vs "
+        f"{len(sql_set)}")
+    print(f"ivf2 crosscheck ok: numpy candidate set == SQL candidate set "
+          f"({len(np_set)} pairs at n={n})", flush=True)
+
+
+def measure_ivf2(spec: str, tau: float = TAU) -> dict:
+    """two-level IVF recall at corpus-derived (k1, k2, nprobe1, nprobe2)
+    against the same brute-force ground truth as measure()."""
+    ids, vecs = load_corpus(spec)
+    n = len(ids)
+    k1, k2, p1, p2 = tdops.ivf2_params_for(n)
+    n_iter = tdops.IVF_LLOYD_ITERS
+    nrm = np.linalg.norm(vecs, axis=1)
+    q = min(SAMPLE, n)
+
+    t0 = time.time()
+    home, probes = ivf2_assign(ids, vecs, k1, k2, p1, p2, n_iter)
+    assign_s = time.time() - t0
+
+    t0 = time.time()
+    cos = np.empty((q, n), dtype=np.float32)
+    for s0 in range(0, n, 200_000):
+        e0 = min(n, s0 + 200_000)
+        cos[:, s0:e0] = ((vecs[:q] @ vecs[s0:e0].T)
+                         / np.outer(nrm[:q], nrm[s0:e0]))
+    qi, cj = np.nonzero(cos >= tau)
+    mask = qi != cj
+    qi, cj = qi[mask], cj[mask]
+    truth_cos = cos[qi, cj]
+    hit_mask = ((probes[qi] == home[cj][:, None]).any(axis=1)
+                | (probes[cj] == home[qi][:, None]).any(axis=1))
+    truth_s = time.time() - t0
+
+    pa, pb = np.minimum(qi, cj), np.maximum(qi, cj)
+    key = pa.astype(np.int64) * n + pb
+    _, first = np.unique(key, return_index=True)
+    hits, t_cos = hit_mask[first], truth_cos[first]
+    n_truth, n_hit = len(first), int(hits.sum())
+
+    per_bin = {}
+    for lo, hi in BINS:
+        m = (t_cos >= lo) & (t_cos < hi)
+        per_bin[f"{lo:.2f}-{hi:.2f}"] = (
+            round(float(hits[m].mean()), 4) if m.any() else None)
+
+    kk = k1 * k2
+    home_counts = np.bincount(home, minlength=kk).astype(np.int64)
+    pr = probes.ravel()
+    probe_counts = np.bincount(pr[pr >= 0],
+                               minlength=kk).astype(np.int64)
+    work = int((home_counts * probe_counts).sum()) - n
+    return {
+        "algo": "ivf2", "corpus": spec, "tau": tau, "n": n,
+        "k1": k1, "k2": k2, "nprobe1": p1, "nprobe2": p2,
+        "lloyd_iters": n_iter, "queries_sampled": q,
+        "truth_pairs_ge_tau": n_truth,
+        "recall": round(n_hit / n_truth, 4) if n_truth else None,
+        "recall_by_cosine_bin": per_bin,
+        "cand_work_pairs": work,
+        "bruteforce_pairs": n * (n - 1) // 2,
+        "work_ratio": round(work / (n * (n - 1) / 2), 5),
+        "assign_wall_s": round(assign_s, 1),
+        "truth_wall_s": round(truth_s, 1),
+    }
+
+
 def measure(spec: str, tau: float = TAU) -> dict:
     ids, vecs = load_corpus(spec)
     n = len(ids)

@@ -362,3 +362,39 @@ def test_ann_params_scale_with_corpus():
     # caps bound the plan at any N
     t4, b4 = tdops.ann_params_for(10**12)
     assert b4 <= 24 and t4 <= 32
+
+
+def test_embed_ivf2_agrees_with_bruteforce(duck):
+    """hierarchical IVF (the post-cell-cap handoff): near-identical pairs
+    survive both levels, reported cosines match brute force, tau holds;
+    Lloyd at both levels keeps the dual-dialect fixed-point machinery."""
+    for kw in (dict(k1=2, k2=2, nprobe1=2, nprobe2=2),
+               dict(k1=2, k2=2, nprobe1=2, nprobe2=2, n_iter=2, dim=3)):
+        ivf2 = {(r[0], r[1]): r[2] for r in
+                q(duck, tdops.sql_embed_ivf2("embs", D.DUCKDB, **kw))}
+        assert (1, 2) in ivf2 and (1, 3) in ivf2
+        bf = {(r[0], r[1]): r[2]
+              for r in q(duck, tdops.sql_embed_topk("embs", D.DUCKDB))}
+        for (a, b), cos in ivf2.items():
+            assert cos == pytest.approx(bf[(a, b)])
+            assert cos >= tdops.ANN_COS_TAU
+    with pytest.raises(ValueError):
+        tdops.sql_embed_ivf2("embs", D.DUCKDB, n_iter=1)  # dim required
+
+
+def test_ivf2_params_scale_with_corpus():
+    """fine-cell count k1·k2 holds occupancy ≈ target; per-level caps
+    MULTIPLY, so the 10¹²-row tier the flat cap cannot reach is sized
+    without saturating either level; probe depths bounded."""
+    for n in (500, 100_000, 10_000_000, 10**12):
+        k1, k2, p1, p2 = tdops.ivf2_params_for(n)
+        assert k1 <= tdops.IVF_MAX_CELLS and k2 <= tdops.IVF_MAX_CELLS
+        assert p1 <= k1 and p2 <= tdops.IVF_MAX_PROBE
+        occ = n / (k1 * k2)
+        assert occ <= tdops.IVF_TARGET_CELL_ROWS * 1.31   # ceil splits
+    # the flat op saturates at 10¹² (occupancy ~15M rows/cell); the
+    # two-level split keeps occupancy at target
+    kf, _ = tdops.ivf_params_for(10**12)
+    assert 10**12 / kf > 10**7
+    k1, k2, _, _ = tdops.ivf2_params_for(10**12)
+    assert 10**12 / (k1 * k2) <= tdops.IVF_TARGET_CELL_ROWS * 1.31

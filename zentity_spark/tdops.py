@@ -665,7 +665,7 @@ def sql_embed_ivf(rel: str, dialect: str, dim: int = None,
 def ivf2_params_for(n_rows: int,
                     target_cell_rows: int = IVF_TARGET_CELL_ROWS,
                     min_cells: int = 2, max_cells: int = IVF_MAX_CELLS,
-                    coarse_probe: int = 4,
+                    coarse_probe: int = 8,
                     max_probe: int = IVF_MAX_PROBE) -> tuple:
     """(k1, k2, nprobe1, nprobe2) sizing for sql_embed_ivf2.
 
@@ -676,7 +676,13 @@ def ivf2_params_for(n_rows: int,
     reach), and assignment cost drops from N·K dot products to
     N·(k1 + nprobe1·k2).  nprobe2 follows the flat depth rule (8, deepened
     to 16 past IVF_DEEP_PROBE_ROWS); nprobe1 coarse probes bound the
-    level-1 boundary loss."""
+    level-1 boundary loss — measured at 1M (BENCH/ann_recall.json):
+    recall 0.720 → 0.791 for nprobe1 4 → 8 at identical candidate work
+    (nprobe1 costs assignment compute only, never join volume; the
+    default 8 buys the 0.07 for ~4% assignment wall), and 0.853 at
+    nprobe2=32 / 1.6% work.  The residual gap to flat IVF's 0.923 at
+    equal work is the structural price of the hierarchy, paid only where
+    flat assignment (N·K dots) is unpayable — the op's design regime."""
     kk = max(1, math.ceil(max(n_rows, 1) / target_cell_rows))
     k1 = max(min_cells, min(max_cells, math.ceil(math.sqrt(kk))))
     k2 = max(min_cells, min(max_cells, math.ceil(kk / k1)))
