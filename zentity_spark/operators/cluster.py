@@ -170,7 +170,13 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     for _ in range(max_iter):
         # one checkpoint per round: large→small star fused into a single
         # materialization (each localCheckpoint is an eager Spark job —
-        # per-round fixed cost matters more than lineage depth of 2)
+        # per-round fixed cost matters more than lineage depth of 2).
+        # Do NOT fuse two alternation rounds per checkpoint: each star
+        # consumes its input twice (nbr/flip union + the min-join), so an
+        # un-checkpointed intermediate's subtree executes multiply and a
+        # depth-4 fusion ~doubles the stage (measured r5: CC 14.1 → 33.6 s
+        # at sf0.1) — the checkpoint is what caps the self-reference
+        # blowup, not just lineage depth.
         e = _small_star(_large_star(e)).localCheckpoint()
         cur = _checksum(e)
         if cur == prev:
