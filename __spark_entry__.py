@@ -125,6 +125,19 @@ def _q_clusters(spark, sf_dir):
     return _job(spark, sf_dir).clusters().select("doc_id", "entity_id")
 
 
+def _q_clusters_wide128(spark, sf_dir):
+    """the 128-bit CC node-id mode (struct of two independent xxhash64
+    columns through the star rounds — collision margin for 10¹² docs)
+    against the SAME recursive-CTE clustering oracle as er_clusters: a
+    green entry pins wide-mode labels == narrow-mode labels == oracle at
+    the driver gate, not just in pytest."""
+    corpus = corpus_dir_for_sf_dir(sf_dir)
+    docs = spark.read.parquet(os.path.join(corpus, "docs_spans.parquet"))
+    job = ResolutionJob(spark, docs, _model(), wide_cc_ids=True) \
+        .cache_stages_under(_stage_cache_base())
+    return job.clusters().select("doc_id", "entity_id")
+
+
 def _q_cluster_sizes(spark, sf_dir):
     return (_job(spark, sf_dir).clusters()
             .groupBy("entity_id")
@@ -743,15 +756,18 @@ def _q_td_increment_dedup(spark, sf_dir):
     table as two hash-split increments, return the keep-one groups map.
     The oracle is the BATCH recursive-CTE labeling — a green entry IS the
     fold(Δ) == batch(D ∪ Δ) contract, driver-checked (the td sibling of
-    er_increment_clusters)."""
+    er_increment_clusters).  auto_compact_ratio=0.2 forces the second
+    fold to COMPACT (VERDICT r4 wrong #4), so the green also pins
+    compacted-state == batch through the driver gate, not just pytest."""
     import tempfile
     from zentity_spark.operators.dedup import IncrementalDeduper
     path = os.path.join(sf_dir, "documents.parquet")
     docs = spark.read.parquet(path).select("doc_id", "text")
     state = tempfile.mkdtemp(prefix="dedup_", dir=_stage_cache_base())
-    d = IncrementalDeduper(spark, state)
+    d = IncrementalDeduper(spark, state, auto_compact_ratio=0.2)
     d.fold(docs.where("pmod(xxhash64(doc_id), 5) < 4"))
     d.fold(docs.where("pmod(xxhash64(doc_id), 5) >= 4"))
+    assert d.last_fold_compacted, "gate expects the second fold to compact"
     return d.groups().select(
         "doc_id", F.col("canonical_id").alias("canonical_id"))
 
@@ -816,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_candidate_pairs": _q_pairs,
         "er_match_edges": _q_edges,
         "er_clusters": _q_clusters,
+        "er_clusters_wide128": _q_clusters_wide128,
         "er_cluster_sizes": _q_cluster_sizes,
         "er_increment_clusters": _q_increment_clusters,
         "er_seeded_hops": _q_seeded,
@@ -858,6 +875,9 @@ def oracle_sql() -> dict[str, str]:
         "er_match_edges": _oracle_stage(
             "SELECT doc_id_a, doc_id_b, resolver FROM match_edges_x"),
         "er_clusters": _oracle_clusters(
+            "SELECT doc_id, entity_id FROM labels"),
+        # wide-id mode must reproduce the identical labeling
+        "er_clusters_wide128": _oracle_clusters(
             "SELECT doc_id, entity_id FROM labels"),
         "er_cluster_sizes": _oracle_clusters(
             "SELECT entity_id, CAST(count(*) AS BIGINT) AS n_docs FROM labels "
