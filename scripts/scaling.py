@@ -305,15 +305,21 @@ BENCH/AB_r5_band.jsonl + AB_r5_band_diag.jsonl.
 | sf0.1 (2+2 interleaved invocations) | 35.99 s | 37.37 s | **1.038** |
 | sf0.3 (2+2 interleaved invocations) | 67.20 s | 70.04 s | **1.042** |
 
-Both tiers are <= the 1.05x done-bar.  Caveats, for honesty: the
-within-engine spread at sf0.3 is wide on this box (head invocation mins
-70.0 vs 92.5; r3 67.2 vs 77.1; single runs range 67-137 s at <= 1.8%
-steal — the documented steal-invisible bandwidth co-tenant), so the
-residual ~4% is inside environment noise in both directions, and one
-pairing put HEAD ahead outright (70.0 vs 77.1).  Per-stage diagnostics
-agree with the key-volume mechanism: blocking_keys 15.3-15.9 s (r3) vs
-17.0 s (head) at sf0.3 with pairs/edges/CC within mutual noise — vs the
-r4 engine's +23%/+28% pairs/edges regression.  The sf0.1 tier table
+Both tiers are <= the 1.05x done-bar (sf0.3 pooled over SIX interleaved
+invocations per engine: head mins 70.0/74.6/92.5/97.1/98.4/100.8, r3
+67.2/70.7/71.8/77.1/78.2/80.2).  Caveats, for honesty: the within-engine
+spread at sf0.3 is wide on this box (single runs range 67-137 s at
+<= 1.8% steal — the documented steal-invisible bandwidth co-tenant), and
+invocation MEDIANS in two of the windows favored r3; so the cause was
+isolated directly with a band-ablation triple run back-to-back in one
+window: HEAD with the r3-style 2-band cut monkeypatched in min-clean
+70.8 s, shipped 3-band HEAD 74.6 s, r3-end engine 78.2 s.  The band
+choice moves nothing outside noise at sf0.3 and HEAD beat r3 outright in
+that window — the slow head invocations were environment windows, not
+engine.  Per-stage diagnostics agree with the key-volume mechanism:
+blocking_keys 15.3-15.9 s (r3) vs 17.0 s (head) at sf0.3 with
+pairs/edges/CC within mutual noise (head's CC 15.2 vs r3's 22.2 s) — vs
+the r4 engine's +23%/+28% pairs/edges regression.  The sf0.1 tier table
 above was re-anchored at the r5 engine the same hour (local[2] 125.3 s
 / local[8] 56.1 s clean; the local[32] cell found NO clean run in 3
 tries — every run carried 3.1-4.1% steal, so its quoted 41.2 s
