@@ -145,3 +145,34 @@ def test_scope_include_resolvers(spark, docs_sf0001, model):
                         scope=Scope(include_resolvers=("r_email",)))
     edges = job.match_edges()
     assert edges.where(F.col("resolver") != "r_email").count() == 0
+
+
+def test_model2_clusters_match_account_truth_exactly(spark, sf0001_dir):
+    """the SECOND model (accounts: jw + ngram + dd/MM/yyyy window + number)
+    also resolves its corpus to the truth partition exactly — all-pairs
+    pairwise F1 = 1.0 (tp only) and partition equality, the
+    ResolutionActionIT-parity evidence er2's oracle hashes imply but no
+    test pinned directly."""
+    from zentity_spark.model import Model
+    docs = spark.read.parquet(
+        os.path.join(sf0001_dir, "docs2_spans.parquet"))
+    model = Model.parse(open(
+        os.path.join(os.path.dirname(sf0001_dir),
+                     "model_account.json")).read())
+    c = ResolutionJob(spark, docs, model).clusters() \
+        .select("doc_id", "entity_id")
+    truth = spark.read.parquet(
+        os.path.join(sf0001_dir, "docs2_truth.parquet")) \
+        .select("doc_id", "account_id")
+    rows = c.join(truth, "doc_id").collect()
+    ent = {r["doc_id"]: r["entity_id"] for r in rows}
+    acct = {r["doc_id"]: r["account_id"] for r in rows}
+    ids = sorted(ent)
+    tp = fp = fn = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            same_p, same_t = ent[a] == ent[b], acct[a] == acct[b]
+            tp += same_p and same_t
+            fp += same_p and not same_t
+            fn += same_t and not same_p
+    assert fp == 0 and fn == 0 and tp > 0, (tp, fp, fn)
