@@ -126,3 +126,21 @@ def test_cc_wide_ids_identical_labels(spark):
     w = ResolutionJob(spark, docs, model, wide_cc_ids=True).clusters() \
         .select("doc_id", "entity_id").collect()
     assert {tuple(r) for r in base} == {tuple(r) for r in w}
+
+
+def test_cc_wide_ids_salt_first_independence(spark):
+    """regression guard for the 128-bit mode's independence property:
+    Spark's multi-arg xxhash64 chains the running hash as the next seed,
+    so xxhash64(c, 1) is a PURE FUNCTION of xxhash64(c) (an h1 collision
+    would force an h2 collision — zero added resistance).  The shipped
+    form must salt FIRST (xxhash64(1, c)); pin that h2 differs from the
+    chained form, and that h2 is not reconstructable from h1 alone by
+    the chain rule."""
+    rows = spark.sql(
+        "SELECT xxhash64('a') h1, xxhash64(1, 'a') salted, "
+        "xxhash64('a', 1) chained").collect()[0]
+    assert rows["salted"] != rows["chained"]
+    from zentity_spark.operators.cluster import connected_components_by_hash
+    import inspect
+    src = inspect.getsource(connected_components_by_hash)
+    assert "xxhash64(1, {c})" in src and "xxhash64({c}, 1)" not in src

@@ -169,3 +169,41 @@ def test_replayed_compacting_fold_converges(spark, tmp_path, monkeypatch):
         incs = [x for x in os.listdir(os.path.join(state, stage))
                 if x.startswith("inc=")]
         assert incs == ["inc=1"], (stage, incs)
+
+
+def test_replay_of_committed_fold_is_noop(spark, tmp_path):
+    """an at-least-once caller replaying a fold that already COMMITTED
+    (pointer moved) must not rewrite state: after a compacting fold, a
+    delta-only rewrite of the compacted inc would silently drop every
+    pre-compaction row from all reads."""
+    state = str(tmp_path / "state")
+    d = IncrementalDeduper(spark, state, auto_compact_ratio=0.5)
+    d.fold(_df(spark, DOCS[:3]))
+    d.fold(_df(spark, DOCS[3:]))             # compacts (delta 3 > 1.5)
+    assert d.last_fold_compacted
+    before = {(r[0], r[1]): r[2] for r in d.pairs().collect()}
+    # replay BOTH committed folds explicitly
+    d.fold(_df(spark, DOCS[:3]), fold_id=0)
+    d.fold(_df(spark, DOCS[3:]), fold_id=1)
+    after = {(r[0], r[1]): r[2] for r in d.pairs().collect()}
+    assert after == before == _batch_pairs(spark, DOCS)
+    assert d.committed_fold_id() == 1
+
+
+def test_legacy_state_without_accounting_still_compacts(spark, tmp_path):
+    """a pre-accounting CURRENT ({'fold_id': i} only, base_rows absent)
+    must not disable compaction forever: the next fold compacts
+    immediately, bootstrapping the accounting."""
+    import json
+    state = str(tmp_path / "state")
+    d = IncrementalDeduper(spark, state, auto_compact_ratio=4.0)
+    d.fold(_df(spark, DOCS[:3]))
+    with open(os.path.join(state, "CURRENT"), "w") as f:
+        json.dump({"fold_id": 0}, f)         # legacy pointer shape
+    d2 = IncrementalDeduper(spark, state, auto_compact_ratio=4.0)
+    d2.fold(_df(spark, DOCS[3:]))
+    assert d2.last_fold_compacted
+    cur = json.load(open(os.path.join(state, "CURRENT")))
+    assert cur["base_inc"] == 1 and cur["base_rows"] == len(DOCS)
+    got = {(r[0], r[1]): r[2] for r in d2.pairs().collect()}
+    assert got == _batch_pairs(spark, DOCS)

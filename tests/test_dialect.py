@@ -201,7 +201,10 @@ def test_date_format_validation():
     # round 5
     for bad in ["yyyy-MM-dd z", "yyyy-MM-dd VV", "epoch_micros",
                 "yyyy-'MM-dd", "GGGG-MM-dd", "yyyy-MM-dd HH:mm:ss.SS",
-                "YYYY-ww"]:
+                "YYYY-ww",
+                # reduced year + offset: the pivot needs the parsed LOCAL
+                # year, which %z parsing collapses away — rejected
+                "dd/MM/yy X", "yy-MM-dd HH:mm Z"]:
         with pytest.raises(ValueError):
             D.validate_date_format(bad)
 

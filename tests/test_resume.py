@@ -91,3 +91,16 @@ def test_unpersist_keeps_user_checkpoint_dir(spark, docs_sf0001, model, ckpt):
     job.run_checkpointed()
     job.unpersist()
     assert os.path.exists(os.path.join(ckpt, "clusters"))
+
+
+def test_fingerprint_covers_wide_cc_ids(spark):
+    """a checkpoint written under one CC id-width must not serve a resume
+    under the other: the flag is part of the job fingerprint."""
+    from zentity_spark.model import Model
+    from zentity_spark.pipeline import ResolutionJob
+    docs = spark.read.parquet("fixtures/sf0.001/docs_spans.parquet")
+    model = Model.parse(open("fixtures/model_person.json").read())
+    narrow = ResolutionJob(spark, docs, model).fingerprint()
+    wide = ResolutionJob(spark, docs, model,
+                         wide_cc_ids=True).fingerprint()
+    assert narrow != wide

@@ -147,8 +147,16 @@ def split_date_format(fmt: str) -> list:
 
 def validate_date_format(fmt: str) -> None:
     """raises ValueError if ``fmt`` is not fully translatable."""
-    if fmt not in EPOCH_DATE_FORMATS:
-        split_date_format(fmt)
+    if fmt in EPOCH_DATE_FORMATS:
+        return
+    toks = [v for k, v in split_date_format(fmt) if k == "tok"]
+    if "yy" in toks and any(t in ("X", "XX", "XXX", "Z") for t in toks):
+        # the reduced-year pivot correction needs the parsed LOCAL year,
+        # which offset parsing collapses away (norm_date docstring) —
+        # reject rather than mistranslate within ±14h of New Year
+        raise ValueError(
+            f"date format {fmt!r}: reduced year 'yy' cannot be combined "
+            "with zone-offset tokens (X/Z) — use 'yyyy' with offsets")
 
 
 def _render_date_format(fmt: str, col: int) -> str:
@@ -190,7 +198,12 @@ def norm_date(c: str, dialect: str, fmt: str = "yyyy-MM-dd") -> str:
             arg = f"regexp_replace({arg}, 'Z$', '+00:00')"
         ts = f"try_strptime({arg}, '{java_date_fmt_to_c(fmt)}')"
         if "yy" in toks:
-            # %y's 69-pivot → Java's base-2000 window (see _DATE_TOKENS)
+            # %y's 69-pivot → Java's base-2000 window (see _DATE_TOKENS).
+            # Safe ONLY on naive formats: the correction needs the PARSED
+            # LOCAL year, and %z-parsing collapses to an instant whose
+            # year() is either session-TZ dependent (raw TIMESTAMPTZ) or
+            # the UTC year (off by one within ±14h of New Year) — so
+            # yy ⊕ offset is rejected at validate_date_format instead.
             ts = (f"CASE WHEN year({ts}) BETWEEN 1969 AND 1999 "
                   f"THEN {ts} + INTERVAL 100 YEAR ELSE {ts} END")
         if has_offset:

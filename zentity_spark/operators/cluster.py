@@ -213,14 +213,20 @@ def connected_components_by_hash(edges: DataFrame,
     sandbox scale, real at 10¹² docs).  ``wide_ids=True`` widens node ids
     to 128 bits: a struct of two independently-seeded xxhash64 columns
     (a merge then needs BOTH to collide, p ≈ n²/2¹²⁹ — comfortable at
-    10¹²).  The star rounds are id-type-agnostic (least/greatest/min/
-    groupBy order structs field-wise), so the same loop runs over 16-byte
-    struct ids at ~2× shuffle width; labels are pinned identical across
-    modes by tests/test_cluster.py."""
+    10¹²).  The salt column must come FIRST: Spark's multi-arg xxhash64
+    chains the running hash as the seed of the next argument, so
+    ``xxhash64(c, 1)`` is a pure function of ``xxhash64(c)`` (h1
+    collisions would imply h2 collisions — zero added resistance);
+    ``xxhash64(1, c)`` hashes ``c`` under a different effective seed, so
+    the two columns collide independently.  The star rounds are
+    id-type-agnostic (least/greatest/min/groupBy order structs
+    field-wise), so the same loop runs over 16-byte struct ids at ~2×
+    shuffle width; labels are pinned identical across modes by
+    tests/test_cluster.py."""
     if wide_ids:
         h = lambda c: F.struct(
             F.expr(f"xxhash64({c})").alias("h1"),
-            F.expr(f"xxhash64({c}, 1)").alias("h2"))
+            F.expr(f"xxhash64(1, {c})").alias("h2"))
     else:
         h = lambda c: F.expr(f"xxhash64({c})")
     ie = edges.select(h("doc_id_a").alias("doc_id_a"),

@@ -144,6 +144,19 @@ class IncrementalDeduper:
         cur = self._current()
         i = (cur.get("fold_id", -1) + 1 if cur else 0) \
             if fold_id is None else fold_id
+        if cur is not None and i <= cur.get("fold_id", -1):
+            # replay of an ALREADY-COMMITTED fold (at-least-once callers):
+            # never touch state — rewriting would be delta-only and, after
+            # a compaction landed at this inc, would overwrite the full
+            # view with the delta and drop every pre-compaction row from
+            # all reads.  Return the recorded per-fold pairs when the dir
+            # still exists; a fold whose dir was compacted away (or that
+            # compacted itself) answers with the full accumulated pair
+            # set — the closest recoverable superset.
+            if i >= cur.get("base_inc", 0) and i != cur.get("base_inc", 0):
+                return (self.storage.read(self._part("pairs", i))
+                        .select("doc_id_a", "doc_id_b", "jaccard"))
+            return self.pairs()
         # one evaluation of the increment for every downstream use (the
         # three stage writes + the probe): a non-deterministic delta
         # source can't write mutually inconsistent stage rows (ADVICE r4)
@@ -154,9 +167,14 @@ class IncrementalDeduper:
         delta_rows = (cur.get("delta_rows", 0) if cur else 0) + d_docs
         ratio = self.auto_compact_ratio or 0
         # compact this fold when the accumulated deltas dwarf the base
-        # (bootstrap fold is trivially compact: the delta IS the state)
+        # (bootstrap fold is trivially compact: the delta IS the state).
+        # A legacy pre-accounting CURRENT has base_rows == 0: without the
+        # not-base_rows arm it could never cross the ratio gate and the
+        # state would grow one dir per fold forever — compact immediately
+        # to bootstrap the accounting.
         compact = cur is None or bool(
-            ratio and base_rows and delta_rows > ratio * base_rows)
+            ratio and delta_rows
+            and (not base_rows or delta_rows > ratio * base_rows))
         self.last_fold_compacted = compact
         # resolve the view in the DELTA's session: a foreachBatch
         # micro-batch arrives on a cloned session, not self.spark
@@ -256,9 +274,11 @@ class IncrementalDeduper:
             pairs_w = pairs_i
         self.storage.write(pairs_w, self._part("pairs", i))
         if compact:
-            # new base holds every doc ingested so far: the old base plus
-            # all accumulated deltas (delta_rows already includes d_docs)
-            base_rows = base_rows + delta_rows if cur is not None else d_docs
+            # recount the base from the written full view rather than
+            # trusting pointer arithmetic: a legacy pre-accounting CURRENT
+            # has no base_rows/delta_rows, and the written dir is the
+            # ground truth either way (same recount incremental.py does)
+            base_rows = self.storage.read(self._part("docs", i)).count()
             base_inc, delta_rows = i, 0
         tmp = self._ptr + ".tmp"
         with open(tmp, "w") as f:

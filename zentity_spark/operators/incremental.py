@@ -96,12 +96,17 @@ class IncrementalResolver:
     def __init__(self, spark: SparkSession, model: Model, state_dir: str,
                  scope: Scope | None = None, block_cap: int = 1000,
                  storage: Storage | None = None,
-                 auto_compact_ratio: float = 4.0):
+                 auto_compact_ratio: float = 4.0,
+                 wide_cc_ids: bool = False):
         self.spark = spark
         self.storage = storage if storage is not None else Storage(spark)
         self.model = model
         self.scope = scope if scope is not None else DEFAULT_SCOPE
         self.block_cap = block_cap
+        # 128-bit CC node ids — the incremental fold IS the 10¹²-doc
+        # operating mode, so the collision-margin flag must be reachable
+        # here, not only on the batch job (see connected_components_by_hash)
+        self.wide_cc_ids = wide_cc_ids
         # compact the labels table when cumulative delta rows exceed
         # ratio × the last compacted base (None/0 disables auto-compaction)
         self.auto_compact_ratio = auto_compact_ratio
@@ -267,7 +272,8 @@ class IncrementalResolver:
         job.unpersist()
         edges = self.storage.read(self._path("edges"))
         labels = connected_components_by_hash(
-            edges.select("doc_id_a", "doc_id_b"))
+            edges.select("doc_id_a", "doc_id_b"),
+            wide_ids=self.wide_cc_ids)
         return self._commit(labels, fold_id, compact=True)
 
     def _fold_delta(self, fold_id: int) -> DataFrame:
@@ -344,7 +350,8 @@ class IncrementalResolver:
                 .select(F.col("doc_id").alias("doc_id_a"),
                         F.col("entity_id").alias("doc_id_b")))
         relabeled = connected_components_by_hash(
-            star.union(d_edges.select("doc_id_a", "doc_id_b")))
+            star.union(d_edges.select("doc_id_a", "doc_id_b")),
+            wide_ids=self.wide_cc_ids)
         job.unpersist()
         return self._commit(relabeled, fold_id)
 

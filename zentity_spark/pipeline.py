@@ -236,7 +236,10 @@ class ResolutionJob:
         files = ";".join(sorted(self.docs.inputFiles()))
         body = "|".join([
             self.plan.model.to_json(), repr(self.plan.scope),
-            str(self.plan.block_cap), files])
+            str(self.plan.block_cap), files,
+            # id-width mode changes cluster labels' collision identity:
+            # a narrow-mode checkpoint must not serve a wide-mode resume
+            f"wide_cc={self.wide_cc_ids}"])
         return hashlib.md5(body.encode()).hexdigest()
 
     def _check_fingerprint(self) -> None:
